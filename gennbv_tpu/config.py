@@ -1,0 +1,154 @@
+"""Single dataclass config tree.
+
+Replaces the reference's four-layer class-config system
+(legged_robot_config.py -> a1_config.py -> config_legged.py ->
+config_gennbv_train.py) and the ~460-line per-field CLI override
+(legged_gym/utils/helpers.py:134-613) with one frozen tree + a generic
+dotted-path CLI override (`--set env.camera_height=100`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+from gennbv_tpu import spec
+
+
+@dataclass
+class CameraConfig:
+    height: int = spec.CAMERA_HEIGHT
+    width: int = spec.CAMERA_WIDTH
+    horizontal_fov_deg: float = spec.HORIZONTAL_FOV_DEG
+    z_offset: float = spec.CAMERA_Z_OFFSET
+    depth_max: float = spec.DEPTH_MAX
+
+
+@dataclass
+class RendererConfig:
+    """TPU depth renderer (replaces Isaac Gym's rasterizer, SURVEY 2.6 N2)."""
+    resolution: int = 64          # render-grid voxels per axis (R)
+    num_samples: int = 192        # ray-march samples between box entry/exit
+    refine_iters: int = 4         # bisection refinement steps for hit depth
+    use_pallas: bool = True       # pallas kernel on TPU, jnp fallback elsewhere
+
+
+@dataclass
+class SceneConfig:
+    num_scenes: int = 256
+    grid_size: int = spec.GRID_SIZE
+    # world box of the mapped region; x,y in [-extent/2, extent/2], z in [0, extent_z]
+    extent_xy: float = 10.0
+    extent_z: float = 6.0
+    dataset: str = "procedural"   # "procedural" | path to a converted dataset dir
+    seed: int = 0
+
+
+@dataclass
+class EnvConfig:
+    num_envs: int = spec.PPO_NUM_ENVS
+    max_episode_length: int = spec.MAX_EPISODE_LENGTH_TRAIN
+    coverage_done_threshold: Optional[float] = spec.COVERAGE_DONE_THRESHOLD_TRAIN
+    pose_buf_len: int = spec.POSE_BUF_LEN
+    rgb_k: int = spec.RGB_K
+    rgb_h: int = spec.RGB_H
+    rgb_w: int = spec.RGB_W
+    # "ztest" = projective z-test carving (TPU-native default);
+    # "bresenham" = exact reference semantics (utils.py:24-227)
+    carve_mode: str = "ztest"
+    # collision test: occupied render voxel within this world radius of the pose
+    collision_radius: float = 0.25
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    renderer: RendererConfig = field(default_factory=RendererConfig)
+    scene: SceneConfig = field(default_factory=SceneConfig)
+
+
+@dataclass
+class ModelConfig:
+    pose_mlp_hidden: int = 256
+    posenc_freqs: int = 2
+    grid_channels: int = 16
+    fused_dim: int = 256
+    # keep the dead state_rgb input dead, as in the reference (hybrid_encoder.py:83)
+    use_state_rgb: bool = False
+
+
+@dataclass
+class PPOConfig:
+    n_steps: int = spec.PPO_N_STEPS
+    batch_size: int = spec.PPO_BATCH_SIZE
+    n_epochs: int = spec.PPO_N_EPOCHS
+    learning_rate: float = spec.PPO_LR
+    gamma: float = spec.PPO_GAMMA
+    gae_lambda: float = spec.PPO_GAE_LAMBDA
+    clip_range: float = spec.PPO_CLIP_RANGE
+    clip_range_vf: Optional[float] = spec.PPO_CLIP_RANGE_VF
+    vf_coef: float = spec.PPO_VF_COEF
+    ent_coef: float = spec.PPO_ENT_COEF
+    target_kl: Optional[float] = spec.PPO_TARGET_KL
+    max_grad_norm: float = spec.PPO_MAX_GRAD_NORM
+    adam_eps: float = spec.PPO_ADAM_EPS
+    normalize_advantage: bool = True
+    # reference multiplies the pg term by 10 (ppo_grid_obs.py:253); parity default on
+    policy_loss_mult: float = spec.PPO_POLICY_LOSS_MULT
+    total_iters: int = spec.PPO_TOTAL_ITERS
+
+
+@dataclass
+class RunnerConfig:
+    seed: int = 1
+    log_dir: str = "runs"
+    experiment_name: str = "gennbv_tpu"
+    save_freq: int = 100            # iterations between checkpoints
+    log_interval: int = 1
+    eval_freq: int = 0              # iterations between evals; 0 = no in-train eval
+    eval_n_episodes: int = spec.EVAL_N_EPISODES
+    best_metric: str = "episode_reward"   # gennbv/callback.py:25-70
+    wandb: bool = False
+    # sharding: number of devices along the env axis; 0 = use all local devices
+    num_devices: int = 0
+    obs_dtype: str = "float32"      # rollout obs storage dtype ("bfloat16" halves HBM)
+
+
+@dataclass
+class Config:
+    env: EnvConfig = field(default_factory=EnvConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    ppo: PPOConfig = field(default_factory=PPOConfig)
+    runner: RunnerConfig = field(default_factory=RunnerConfig)
+
+
+def _coerce(value: str, old: Any) -> Any:
+    if old is None:
+        try:
+            return int(value)
+        except ValueError:
+            try:
+                return float(value)
+            except ValueError:
+                return value
+    if isinstance(old, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    return type(old)(value)
+
+
+def apply_overrides(cfg: Config, overrides: Tuple[str, ...]) -> Config:
+    """Apply `a.b.c=value` overrides, returning a new Config."""
+    for item in overrides:
+        path, _, value = item.partition("=")
+        keys = path.strip().split(".")
+        # walk down, rebuilding dataclasses immutably from the leaf up
+        def set_in(node, keys):
+            if len(keys) == 1:
+                old = getattr(node, keys[0])
+                return dataclasses.replace(node, **{keys[0]: _coerce(value, old)})
+            child = getattr(node, keys[0])
+            return dataclasses.replace(node, **{keys[0]: set_in(child, keys[1:])})
+        cfg = set_in(cfg, keys)
+    return cfg
+
+
+def config_to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    return cfg

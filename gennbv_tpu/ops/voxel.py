@@ -1,0 +1,95 @@
+"""Voxelization / grid ops.
+
+Fixed-shape, batched rewrites of the reference index ops:
+- points -> voxel indices with half-voxel-offset bounds mask
+  (gennbv/utils.py:230-270, `scanned_pts_to_idx_3D`)
+- pose -> voxel index with out-of-bounds -> -1 collision mode
+  (gennbv/utils.py:273-306, `pose_coord_to_idx_3D`)
+- tri-class grid {-1 free, 0 unknown, 1 occupied}
+  (gennbv/utils.py:309-325, `grid_occupancy_tri_cls`)
+
+The reference returns ragged per-env lists and deduplicates with
+torch.unique; here everything is a mask over a fixed [num_pts] axis.  Dedup
+is unnecessary: the downstream scatter of 1.0 is idempotent.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gennbv_tpu import spec
+
+
+def points_to_voxel_idx(
+    pts: jnp.ndarray,       # [..., P, 3] world points
+    valid: jnp.ndarray,     # [..., P] bool
+    range_gt: jnp.ndarray,  # [..., 6] (x_max, x_min, y_max, y_min, z_max, z_min)
+    voxel_size: jnp.ndarray,  # [..., 3]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (idx [..., P, 3] int32, in_bounds [..., P] bool).
+
+    idx = floor((p - (xyz_min - 0.5*v)) / v); a point is in bounds iff
+    xyz_min - 0.5*v < p < xyz_max + 0.5*v per axis (utils.py:242-258).
+    Out-of-bounds indices are clamped to [0, G-1] so they are always safe to
+    scatter with a zero update.
+    """
+    xyz_max = range_gt[..., None, jnp.array([0, 2, 4])]
+    xyz_min = range_gt[..., None, jnp.array([1, 3, 5])]
+    v = voxel_size[..., None, :]
+    lo = xyz_min - 0.5 * v
+    hi = xyz_max + 0.5 * v
+    idx = jnp.floor((pts - lo) / v).astype(jnp.int32)
+    in_bounds = jnp.all((pts > lo) & (pts < hi), axis=-1) & valid
+    idx = jnp.clip(idx, 0, spec.GRID_SIZE - 1)
+    return idx, in_bounds
+
+
+def pose_to_voxel_idx(
+    pos: jnp.ndarray,        # [..., 3] world position
+    range_gt: jnp.ndarray,   # [..., 6]
+    voxel_size: jnp.ndarray,  # [..., 3]
+) -> jnp.ndarray:
+    """Unclipped voxel index of a camera position (utils.py:273-306 with
+    if_col=False: the commented-out clip is intentionally absent — the
+    Bresenham source may lie outside the grid)."""
+    xyz_min = jnp.stack([range_gt[..., 1], range_gt[..., 3], range_gt[..., 5]], axis=-1)
+    lo = xyz_min - 0.5 * voxel_size
+    return jnp.floor((pos - lo) / voxel_size).astype(jnp.int32)
+
+
+@jax.jit
+def tri_cls(prob_grid: jnp.ndarray) -> jnp.ndarray:
+    """{-1: free (<0.0), 0: unknown, 1: occupied (>0.5)} (utils.py:309-325)."""
+    occ = (prob_grid > spec.TRI_CLS_THRESHOLD_OCC).astype(jnp.float32)
+    free = (prob_grid < spec.TRI_CLS_THRESHOLD_FREE).astype(jnp.float32)
+    return occ - free
+
+
+def scatter_hits(
+    grid_shape: int,
+    idx: jnp.ndarray,     # [P, 3] int32 (pre-clamped)
+    valid: jnp.ndarray,   # [P] bool
+) -> jnp.ndarray:
+    """[G, G, G] float grid with 1.0 at valid hit voxels (scatter-max,
+    idempotent — replaces the reference's unique+index-assign,
+    env_train_gennbv.py:301-304)."""
+    flat = (idx[:, 0] * grid_shape + idx[:, 1]) * grid_shape + idx[:, 2]
+    grid = jnp.zeros((grid_shape ** 3,), dtype=jnp.float32)
+    grid = grid.at[flat].max(valid.astype(jnp.float32))
+    return grid.reshape(grid_shape, grid_shape, grid_shape)
+
+
+@jax.jit
+def coverage_update(
+    scanned_gt: jnp.ndarray,   # [..., G, G, G]
+    hit_grid: jnp.ndarray,     # [..., G, G, G] 0/1 hits this step
+    grid_gt: jnp.ndarray,      # [..., G, G, G] GT surface occupancy
+    num_valid: jnp.ndarray,    # [...] GT surface voxel count
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """scanned' = clip(scanned + hit*gt, 0, 1); ratio = sum(scanned')/valid
+    (env_train_gennbv.py:323-326, 535-539)."""
+    scanned = jnp.clip(scanned_gt + hit_grid * grid_gt, 0.0, 1.0)
+    ratio = jnp.sum(scanned, axis=(-1, -2, -3)) / jnp.maximum(num_valid, 1.0)
+    return scanned, ratio
