@@ -1,0 +1,290 @@
+"""Scene sets: per-scene occupancy grids + ground-truth surface grids.
+
+The reference loads Houses3K meshes into Isaac Gym and a precomputed GT
+voxel-grid tensor ``[num_scene, X, Y, Z, 4]`` whose channel 3 is surface
+occupancy; per-scene voxel size / value range / valid-voxel count are derived
+from the stored voxel-center coordinates (env_train_gennbv.py:56-96).
+
+Here a scene is:
+- ``render_occ``  [S, R^3]: dense solid occupancy at render resolution R for
+  the DDA depth renderer + collision tests (the Isaac Gym replacement);
+- ``grid_gt``     [S, G, G, G]: GT *surface* occupancy at mapping resolution
+  G=20, derived from the render grid (occupied voxels adjacent to free
+  space, with below-ground treated as occupied so unobservable bottom faces
+  never count against coverage);
+- reference-layout metadata: ``voxel_size`` [S,3], ``range_gt`` [S,6]
+  (x_max, x_min, y_max, y_min, z_max, z_min) where x/y are symmetric and the
+  first z voxel center sits at z=0, exactly like the reference derivation.
+
+Datasets: a procedural house generator (the default, fully self-contained)
+plus a loader for reference-format GT tensors (data_gennbv) when available.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from gennbv_tpu import spec
+from gennbv_tpu.config import SceneConfig
+
+
+class SceneSet(NamedTuple):
+    """Device-resident scene data (leading axis = scene)."""
+    render_occ: jnp.ndarray    # [S, R^3] uint8
+    box_lo: jnp.ndarray        # [S, 3] render-box min corner (== GT index lower bound)
+    box_hi: jnp.ndarray        # [S, 3]
+    grid_gt: jnp.ndarray       # [S, G, G, G] float32 surface occupancy
+    voxel_size: jnp.ndarray    # [S, 3]
+    range_gt: jnp.ndarray      # [S, 6]
+    num_valid_voxel: jnp.ndarray  # [S] float32
+    grid_res: int              # R (static)
+    grid_size: int             # G (static)
+
+    @property
+    def num_scenes(self) -> int:
+        return self.render_occ.shape[0]
+
+
+def _surface_from_solid(occ: np.ndarray) -> np.ndarray:
+    """Occupied voxels with at least one free 6-neighbour.  Out-of-grid
+    neighbours count as free except below z=0 (ground-contact faces are
+    unobservable and excluded from the GT surface)."""
+    padded = np.pad(occ, 1, mode="constant", constant_values=0)
+    padded[:, :, 0] = 1  # below ground = occupied
+    free = padded == 0
+    nb_free = (
+        free[:-2, 1:-1, 1:-1] | free[2:, 1:-1, 1:-1]
+        | free[1:-1, :-2, 1:-1] | free[1:-1, 2:, 1:-1]
+        | free[1:-1, 1:-1, :-2] | free[1:-1, 1:-1, 2:]
+    )
+    return (occ > 0) & nb_free
+
+
+def _downsample_surface(surface: np.ndarray, grid_res: int, grid_size: int) -> np.ndarray:
+    """GT cell = 1 iff any surface render-voxel center falls inside it.
+
+    Render and GT grids share the same world box, so the mapping is pure
+    index arithmetic: render voxel i center -> GT index floor((i+0.5)*G/R).
+    """
+    idx = np.argwhere(surface)
+    if len(idx) == 0:
+        return np.zeros((grid_size,) * 3, dtype=np.float32)
+    gt_idx = np.floor((idx + 0.5) * grid_size / grid_res).astype(np.int64)
+    gt_idx = np.clip(gt_idx, 0, grid_size - 1)
+    gt = np.zeros((grid_size,) * 3, dtype=np.float32)
+    gt[gt_idx[:, 0], gt_idx[:, 1], gt_idx[:, 2]] = 1.0
+    return gt
+
+
+def _box_slices(lo: np.ndarray, hi: np.ndarray, box_lo: np.ndarray,
+                vsize: np.ndarray, res: int):
+    a = np.clip(np.floor((lo - box_lo) / vsize).astype(int), 0, res)
+    b = np.clip(np.ceil((hi - box_lo) / vsize).astype(int), 0, res)
+    return tuple(slice(a[i], b[i]) for i in range(3))
+
+
+def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
+               box_hi: np.ndarray) -> np.ndarray:
+    """One procedural 'house': base block + roof + extensions - openings.
+
+    Stands on the ground plane (z=0) inside the central region of the box,
+    mimicking the building-scale Houses3K objects the reference trains on.
+    """
+    occ = np.zeros((res, res, res), dtype=np.uint8)
+    vsize = (box_hi - box_lo) / res
+
+    w = rng.uniform(2.5, 5.5)
+    d = rng.uniform(2.5, 5.5)
+    h = rng.uniform(1.8, 3.5)
+    cx = rng.uniform(-1.0, 1.0)
+    cy = rng.uniform(-1.0, 1.0)
+    yaw_boxes = []  # list of (lo, hi, add)
+
+    yaw_boxes.append((np.array([cx - w / 2, cy - d / 2, 0.0]),
+                      np.array([cx + w / 2, cy + d / 2, h]), True))
+
+    # roof: stepped pyramid or flat parapet
+    style = rng.randint(3)
+    if style == 0:  # stepped pyramid
+        n_steps = rng.randint(3, 6)
+        rh = rng.uniform(0.8, 2.0)
+        for i in range(n_steps):
+            f = 1.0 - (i + 1) / (n_steps + 1)
+            yaw_boxes.append((
+                np.array([cx - f * w / 2, cy - f * d / 2, h + i * rh / n_steps]),
+                np.array([cx + f * w / 2, cy + f * d / 2, h + (i + 1) * rh / n_steps]),
+                True,
+            ))
+    elif style == 1:  # gable approximation along x
+        n_steps = 4
+        rh = rng.uniform(0.8, 1.6)
+        for i in range(n_steps):
+            f = 1.0 - (i + 1) / (n_steps + 1)
+            yaw_boxes.append((
+                np.array([cx - w / 2, cy - f * d / 2, h + i * rh / n_steps]),
+                np.array([cx + w / 2, cy + f * d / 2, h + (i + 1) * rh / n_steps]),
+                True,
+            ))
+
+    # extensions (porch / wing)
+    for _ in range(rng.randint(0, 3)):
+        ew = rng.uniform(1.0, 2.5)
+        ed = rng.uniform(1.0, 2.5)
+        eh = rng.uniform(0.8, min(2.5, h))
+        side = rng.randint(4)
+        off = [(w / 2, 0), (-w / 2 - ew, 0), (0, d / 2), (0, -d / 2 - ed)][side]
+        ex = cx + off[0] if side < 2 else cx + rng.uniform(-w / 3, w / 3)
+        ey = cy + off[1] if side >= 2 else cy + rng.uniform(-d / 3, d / 3)
+        if side < 2:
+            yaw_boxes.append((np.array([ex, ey - ed / 2, 0.0]),
+                              np.array([ex + ew, ey + ed / 2, eh]), True))
+        else:
+            yaw_boxes.append((np.array([ex - ew / 2, ey, 0.0]),
+                              np.array([ex + ew / 2, ey + ed, eh]), True))
+
+    # chimney
+    if rng.rand() < 0.5:
+        ch = rng.uniform(0.4, 1.0)
+        cxx = cx + rng.uniform(-w / 3, w / 3)
+        cyy = cy + rng.uniform(-d / 3, d / 3)
+        yaw_boxes.append((np.array([cxx - 0.3, cyy - 0.3, h]),
+                          np.array([cxx + 0.3, cyy + 0.3, h + 1.2 + ch]), True))
+
+    # openings (doors / passages) - concavities that force low viewpoints
+    for _ in range(rng.randint(0, 3)):
+        ow = rng.uniform(0.6, 1.5)
+        oh = rng.uniform(0.8, 1.6)
+        axis = rng.randint(2)
+        pos = rng.uniform(-0.3, 0.3)
+        if axis == 0:
+            yaw_boxes.append((np.array([cx - w, cy + pos * d - ow / 2, 0.0]),
+                              np.array([cx + w, cy + pos * d + ow / 2, oh]), False))
+        else:
+            yaw_boxes.append((np.array([cx + pos * w - ow / 2, cy - d, 0.0]),
+                              np.array([cx + pos * w + ow / 2, cy + d, oh]), False))
+
+    for lo, hi, add in yaw_boxes:
+        sl = _box_slices(lo, hi, box_lo, vsize, res)
+        occ[sl] = 1 if add else 0
+    return occ
+
+
+def generate_procedural(cfg: SceneConfig, grid_res: int) -> SceneSet:
+    """Build a SceneSet of procedural houses (host-side numpy; runs once)."""
+    rng = np.random.RandomState(cfg.seed)
+    s, g, r = cfg.num_scenes, cfg.grid_size, grid_res
+
+    render_occ = np.zeros((s, r ** 3), dtype=np.uint8)
+    box_lo = np.zeros((s, 3), dtype=np.float32)
+    box_hi = np.zeros((s, 3), dtype=np.float32)
+    grid_gt = np.zeros((s, g, g, g), dtype=np.float32)
+    voxel_size = np.zeros((s, 3), dtype=np.float32)
+    range_gt = np.zeros((s, 6), dtype=np.float32)
+
+    for i in range(s):
+        e_xy = cfg.extent_xy * rng.uniform(0.85, 1.15)
+        e_z = cfg.extent_z * rng.uniform(0.85, 1.15)
+        v = np.array([e_xy / g, e_xy / g, e_z / g], dtype=np.float32)
+        # reference layout: x/y centers symmetric about 0, first z center at 0
+        range_i = np.array(
+            [(e_xy - v[0]) / 2, -(e_xy - v[0]) / 2,
+             (e_xy - v[1]) / 2, -(e_xy - v[1]) / 2,
+             e_z - v[2], 0.0],
+            dtype=np.float32,
+        )
+        lo = np.array([-e_xy / 2, -e_xy / 2, -v[2] / 2], dtype=np.float32)
+        hi = np.array([e_xy / 2, e_xy / 2, e_z - v[2] / 2], dtype=np.float32)
+
+        occ = _gen_house(rng, r, lo, hi)
+        surface = _surface_from_solid(occ)
+        grid_gt[i] = _downsample_surface(surface, r, g)
+
+        render_occ[i] = occ.reshape(-1)
+        box_lo[i], box_hi[i] = lo, hi
+        voxel_size[i] = v
+        range_gt[i] = range_i
+
+    return SceneSet(
+        render_occ=jnp.asarray(render_occ),
+        box_lo=jnp.asarray(box_lo),
+        box_hi=jnp.asarray(box_hi),
+        grid_gt=jnp.asarray(grid_gt),
+        voxel_size=jnp.asarray(voxel_size),
+        range_gt=jnp.asarray(range_gt),
+        num_valid_voxel=jnp.asarray(grid_gt.sum(axis=(1, 2, 3))),
+        grid_res=r,
+        grid_size=g,
+    )
+
+
+def load_reference_gt(gt_grid: np.ndarray, grid_res: int) -> SceneSet:
+    """Build a SceneSet from a reference-format GT tensor
+    ``[num_scene, X, Y, Z, 4]`` (channels 0-2 voxel-center coords, 3
+    occupancy), replicating _init_load_all (env_train_gennbv.py:56-96).
+
+    The render grid is the GT surface occupancy upsampled to R (nearest),
+    usable for training/eval when the original meshes are unavailable.
+    """
+    s, g = gt_grid.shape[0], gt_grid.shape[1]
+    occ_g = gt_grid[..., 3].astype(np.float32)
+    voxel_size = np.stack(
+        [gt_grid[:, 1, 0, 0, 0] - gt_grid[:, 0, 0, 0, 0],
+         gt_grid[:, 0, 1, 0, 1] - gt_grid[:, 0, 0, 0, 1],
+         gt_grid[:, 0, 0, 1, 2] - gt_grid[:, 0, 0, 0, 2]],
+        axis=-1,
+    ).astype(np.float32)
+    x_range = gt_grid[:, -1, 0, 0, 0] - gt_grid[:, 0, 0, 0, 0]
+    y_range = gt_grid[:, 0, -1, 0, 1] - gt_grid[:, 0, 0, 0, 1]
+    z_range = gt_grid[:, 0, 0, -1, 2] - gt_grid[:, 0, 0, 0, 2]
+    range_gt = np.stack(
+        [x_range / 2, -x_range / 2, y_range / 2, -y_range / 2,
+         z_range, np.zeros_like(z_range)],
+        axis=-1,
+    ).astype(np.float32)
+    box_lo = np.stack([-x_range / 2, -y_range / 2, np.zeros_like(z_range)], -1) - 0.5 * voxel_size
+    box_hi = np.stack([x_range / 2, y_range / 2, z_range], -1) + 0.5 * voxel_size
+
+    r = grid_res
+    scale = r // g if r % g == 0 else None
+    render = np.zeros((s, r, r, r), dtype=np.uint8)
+    if scale:
+        render = np.repeat(np.repeat(np.repeat(
+            occ_g.astype(np.uint8), scale, 1), scale, 2), scale, 3)
+    else:
+        idx = np.floor((np.arange(r) + 0.5) * g / r).astype(int)
+        render = occ_g.astype(np.uint8)[:, idx][:, :, idx][:, :, :, idx]
+
+    return SceneSet(
+        render_occ=jnp.asarray(render.reshape(s, -1)),
+        box_lo=jnp.asarray(box_lo.astype(np.float32)),
+        box_hi=jnp.asarray(box_hi.astype(np.float32)),
+        grid_gt=jnp.asarray(occ_g),
+        voxel_size=jnp.asarray(voxel_size),
+        range_gt=jnp.asarray(range_gt),
+        num_valid_voxel=jnp.asarray(occ_g.sum(axis=(1, 2, 3))),
+        grid_res=r,
+        grid_size=g,
+    )
+
+
+def make_scenes(cfg: SceneConfig, grid_res: int) -> SceneSet:
+    if cfg.dataset == "procedural":
+        return generate_procedural(cfg, grid_res)
+    # a directory containing gt_grid.npy in reference layout
+    import os
+    gt = np.load(os.path.join(cfg.dataset, "gt_grid.npy"))
+    return load_reference_gt(gt, grid_res)
+
+
+def voxel_centers(range_gt: jnp.ndarray, voxel_size: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[G^3, 3] world coordinates of GT voxel centers for one scene."""
+    mins = jnp.stack([range_gt[1], range_gt[3], range_gt[5]], axis=-1)
+    ar = jnp.arange(g, dtype=jnp.float32)
+    cx = mins[0] + ar * voxel_size[0]
+    cy = mins[1] + ar * voxel_size[1]
+    cz = mins[2] + ar * voxel_size[2]
+    xx, yy, zz = jnp.meshgrid(cx, cy, cz, indexing="ij")
+    return jnp.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
