@@ -1,0 +1,71 @@
+"""End-to-end PPO throughput benchmark at the reference training scale.
+
+Measures env-steps/sec of the FULL training iteration — on-device depth
+rendering, occupancy mapping, reward, GAE, and the 5-epoch minibatched PPO
+update — at 256 vectorized envs (the reference's single-A100 configuration,
+gennbv/train/train_gennbv.py:117).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "env_steps_per_sec", "vs_baseline": N}
+
+The reference publishes no steps/sec figure (SURVEY §6, BASELINE.md); the
+baseline constant below is an engineering estimate of the reference pipeline
+at the same scale: Isaac Gym renders 256 cameras at 400x400 per step plus a
+256-iteration per-env Python loop launching a PyCUDA kernel each
+(env_train_gennbv.py:295-314) — order 200 env-steps/s on an A100-class GPU.
+vs_baseline should be read against that estimate until the reference is
+measured directly.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+REFERENCE_EST_STEPS_PER_SEC = 200.0
+
+
+def main():
+    from gennbv_tpu.config import (CameraConfig, Config, EnvConfig, PPOConfig,
+                                   RendererConfig, RunnerConfig, SceneConfig)
+    from gennbv_tpu.algo.runner import Runner
+
+    num_envs = 256
+    cfg = Config(
+        env=EnvConfig(
+            num_envs=num_envs,
+            camera=CameraConfig(height=128, width=128),
+            renderer=RendererConfig(resolution=64),
+            scene=SceneConfig(num_scenes=num_envs, seed=0),
+        ),
+        ppo=PPOConfig(n_steps=128, batch_size=128, n_epochs=5),
+        runner=RunnerConfig(seed=0, save_freq=0),
+    )
+    runner = Runner(cfg)
+    env_state, obs = runner.setup()
+    ts = runner.train_state
+    rng = runner.rng
+
+    # warmup / compile
+    ts, env_state, obs, rng, metrics = runner._train_iter(ts, env_state, obs, rng)
+    jax.block_until_ready(metrics["rollout/episode_reward"])
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, env_state, obs, rng, metrics = runner._train_iter(ts, env_state, obs, rng)
+    jax.block_until_ready(metrics["rollout/episode_reward"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = iters * cfg.ppo.n_steps * num_envs / dt
+    print(json.dumps({
+        "metric": "PPO end-to-end env-steps/sec, 256 envs (render+map+update)",
+        "value": round(steps_per_sec, 2),
+        "unit": "env_steps_per_sec",
+        "vs_baseline": round(steps_per_sec / REFERENCE_EST_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Eval harness: 50 envs x 30-step deterministic episodes, AUC + accuracy.
+
+Rewrite of evaluate_policy_grid_obs (stable_baselines3/common/evaluation.py:
+136-378) without the SubprocVecEnv process hop (SURVEY §3.3): the eval env is
+just a second jitted env batch on the same device/mesh.
+
+Protocol parity:
+- env.reset() performs the forced top-down init step; its reward is NOT
+  counted (evaluation.py:216-221)
+- each env runs exactly one episode (episode_count_targets <= 1,
+  evaluation.py:281)
+- AUC: per-step reward gains weighted by remaining steps; gains at or after
+  the done step contribute 0 (AUC_update, evaluation.py:358-378);
+  mean_AUC = sum_t AUC[:, t] * (max_len - t) / max_len (evaluation.py:340)
+- accuracy: chamfer distance x100 between the accumulated scanned points
+  (deduped at 1 cm) and the GT point cloud (env_eval_gennbv.py:252-264).
+  Deviation: points are accumulated from a strided pixel subset instead of
+  all H*W pixels (fixed-shape accumulation; documented in README).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gennbv_tpu.models import distributions
+from gennbv_tpu.ops import backproject, camera, chamfer, render
+
+
+class EvalResult(NamedTuple):
+    mean_reward: float
+    std_reward: float
+    mean_ep_length: float
+    mean_auc: float
+    mean_final_coverage: float
+    mean_accuracy_cm: float
+    per_env_coverage: np.ndarray
+    per_env_auc: np.ndarray
+
+
+def _eval_scan(env, model, variables, env_state, obs, point_stride: int):
+    """Runs max_len steps; returns stacked per-step (reward, done, coverage)
+    plus strided scan points for the accuracy metric."""
+    max_len = env.cfg.max_episode_length
+    h, w = env.cfg.camera.height, env.cfg.camera.width
+    sub_rays = env.cam_rays.reshape(h, w, 3)[::point_stride, ::point_stride].reshape(-1, 3)
+
+    def acc_points_one(scene_id, pose):
+        occ = env.scenes.render_occ[scene_id]
+        lo = env.scenes.box_lo[scene_id]
+        hi = env.scenes.box_hi[scene_id]
+        r_c2w, t_c2w = camera.pose_to_c2w(pose, env.cfg.camera.z_offset)
+        depth, fg = render.render_depth(
+            occ, lo, hi, sub_rays, r_c2w, t_c2w,
+            env.scenes.grid_res, 3 * env.scenes.grid_res, env.cfg.camera.depth_max,
+        )
+        pts, valid = backproject.backproject(depth, fg, sub_rays, r_c2w, t_c2w)
+        return pts, valid
+
+    def step_fn(carry, _):
+        env_state, obs = carry
+        out = model.apply(variables, obs, train=False)
+        actions = distributions.mode(out.logits)  # deterministic
+        poses = jnp.clip(actions, 0, env.nvec - 1).astype(jnp.float32) \
+            * env.action_unit + env.pose_low
+        # fresh-env forcing mirrors env.step
+        fresh = (env_state.episode_len == 0)[:, None]
+        poses = jnp.where(
+            fresh, env.init_action.astype(jnp.float32) * env.action_unit + env.pose_low,
+            poses,
+        )
+        pts, valid = jax.vmap(acc_points_one)(env_state.scene_id, poses)
+        env_state, step_out = env.step(env_state, actions)
+        rec = (step_out.reward, step_out.done, step_out.coverage, pts, valid)
+        return (env_state, step_out.obs), rec
+
+    (env_state, obs), (rewards, dones, coverage, pts, valid) = jax.lax.scan(
+        step_fn, (env_state, obs), None, length=max_len
+    )
+    return rewards, dones, coverage, pts, valid
+
+
+def _init_points(env, scene_id, point_stride: int):
+    """Scan points from the forced init pose (executed inside env.reset)."""
+    import jax.numpy as jnp
+    h, w = env.cfg.camera.height, env.cfg.camera.width
+    sub_rays = env.cam_rays.reshape(h, w, 3)[::point_stride, ::point_stride].reshape(-1, 3)
+    init_pose = env.init_action.astype(jnp.float32) * env.action_unit + env.pose_low
+    n = scene_id.shape[0]
+    poses = jnp.broadcast_to(init_pose, (n, 6))
+
+    def one(sid, pose):
+        occ = env.scenes.render_occ[sid]
+        lo = env.scenes.box_lo[sid]
+        hi = env.scenes.box_hi[sid]
+        r_c2w, t_c2w = camera.pose_to_c2w(pose, env.cfg.camera.z_offset)
+        depth, fg = render.render_depth(
+            occ, lo, hi, sub_rays, r_c2w, t_c2w,
+            env.scenes.grid_res, 3 * env.scenes.grid_res, env.cfg.camera.depth_max,
+        )
+        return backproject.backproject(depth, fg, sub_rays, r_c2w, t_c2w)
+
+    return jax.vmap(one)(scene_id, poses)
+
+
+def evaluate(env, model, variables, point_stride: int = 8,
+             compute_accuracy: bool = True) -> EvalResult:
+    n = env.cfg.num_envs
+    max_len = env.cfg.max_episode_length
+    env_state, reset_out = env.reset(n)
+    obs = reset_out.obs
+    rewards, dones, coverage, pts, valid = jax.jit(
+        lambda s, o: _eval_scan(env, model, variables, s, o, point_stride)
+    )(env_state, obs)
+
+    # the reset step's forced top-down view also scans the scene
+    # (env_eval_gennbv.py:108-129): capture its points for the accuracy metric
+    init_pts, init_valid = jax.jit(
+        lambda s: _init_points(env, s, point_stride)
+    )(env_state.scene_id)
+
+    rewards = np.array(rewards)      # [T, N]
+    dones = np.array(dones)
+    coverage = np.array(coverage)
+
+    # first done step per env (episodes are forced done by timeout <= T)
+    done_any = dones.any(axis=0)
+    first_done = np.where(done_any, dones.argmax(axis=0), max_len - 1)
+
+    t_idx = np.arange(max_len)[:, None]
+    before_done = t_idx <= first_done[None, :]
+    strictly_before = t_idx < first_done[None, :]
+
+    ep_rewards = (rewards * before_done).sum(axis=0)
+    ep_lengths = first_done + 1
+    final_coverage = coverage[first_done, np.arange(n)]
+
+    # AUC (reference zeroes the done step's gain)
+    auc_rews = rewards * strictly_before
+    weights = (max_len - np.arange(max_len)) / max_len
+    per_env_auc = (auc_rews * weights[:, None]).sum(axis=0)
+
+    mean_acc = float("nan")
+    if compute_accuracy:
+        pts = np.array(pts)          # [T, N, S, 3]
+        valid = np.array(valid) & before_done[:, :, None]
+        # prepend the reset-step scan
+        pts = np.concatenate([np.array(init_pts)[None], pts], axis=0)
+        valid = np.concatenate([np.array(init_valid)[None], valid], axis=0)
+        accs = []
+        gt_pts = np.array(env.scenes.gt_points)
+        gt_mask = np.array(env.scenes.gt_points_mask)
+        for e in range(n):
+            p = pts[:, e][valid[:, e]]
+            if len(p) == 0:
+                continue
+            p = chamfer.dedupe_round_cm(p)
+            sid = int(np.array(env_state.scene_id[e]))
+            g = gt_pts[sid][gt_mask[sid]]
+            d = chamfer.chamfer_distance(
+                jnp.asarray(p, jnp.float32), jnp.ones(len(p), bool),
+                jnp.asarray(g, jnp.float32), jnp.ones(len(g), bool),
+            )
+            accs.append(float(d) * 100.0)  # cm, reference scaling
+        mean_acc = float(np.mean(accs)) if accs else float("nan")
+
+    return EvalResult(
+        mean_reward=float(ep_rewards.mean()),
+        std_reward=float(ep_rewards.std()),
+        mean_ep_length=float(ep_lengths.mean()),
+        mean_auc=float(per_env_auc.mean()),
+        mean_final_coverage=float(final_coverage.mean()),
+        mean_accuracy_cm=mean_acc,
+        per_env_coverage=final_coverage,
+        per_env_auc=per_env_auc,
+    )

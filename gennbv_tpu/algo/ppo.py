@@ -1,0 +1,175 @@
+"""PPO learner: clipped surrogate + clipped value loss + entropy bonus.
+
+Single JAX learner replacing the SB3-fork PPO_Grid_Obs (ppo_grid_obs.py:
+176-297) and the vendored rsl_rl PPO.  Reference semantics preserved:
+
+- loss = policy_loss * 10 + ent_coef * entropy_loss + vf_coef * value_loss
+  (the non-standard x10 pg multiplier, ppo_grid_obs.py:253; configurable)
+- per-minibatch advantage normalization (ppo_grid_obs.py:214-216)
+- value clipping around old values (ppo_grid_obs.py:231-239)
+- target-KL early stop at 1.5x: the triggering minibatch is *not* applied
+  and all remaining minibatches/epochs are skipped (ppo_grid_obs.py:264-268)
+  — data-dependent control flow implemented with lax.cond inside the
+  minibatch scan (SURVEY §7 hard part #5)
+- grad-norm clip then Adam(lr, eps=1e-5)
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gennbv_tpu.config import PPOConfig
+from gennbv_tpu.models import distributions
+
+
+class PPOTrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.learning_rate, eps=cfg.adam_eps),
+    )
+
+
+class UpdateMetrics(NamedTuple):
+    policy_loss: jnp.ndarray
+    value_loss: jnp.ndarray
+    entropy_loss: jnp.ndarray
+    approx_kl: jnp.ndarray
+    clip_fraction: jnp.ndarray
+    n_minibatches_done: jnp.ndarray
+    explained_variance: jnp.ndarray
+
+
+def update(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: PPOConfig,
+    ts: PPOTrainState,
+    obs: jnp.ndarray,        # [M, D] flattened rollout (swap-and-flatten)
+    actions: jnp.ndarray,    # [M, 6]
+    old_log_probs: jnp.ndarray,  # [M]
+    old_values: jnp.ndarray,     # [M]
+    advantages: jnp.ndarray,     # [M]
+    returns: jnp.ndarray,        # [M]
+    rng: jax.Array,
+) -> tuple[PPOTrainState, UpdateMetrics]:
+    m = obs.shape[0]
+    n_mb = m // cfg.batch_size
+    assert n_mb * cfg.batch_size == m, "batch_size must divide n_steps*num_envs"
+
+    # one fresh permutation per epoch (buffers.py:726-762)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, m))(
+        jax.random.split(rng, cfg.n_epochs)
+    )
+    mb_indices = perms.reshape(cfg.n_epochs * n_mb, cfg.batch_size)
+
+    kl_threshold = 1.5 * cfg.target_kl if cfg.target_kl is not None else None
+
+    def loss_fn(params, batch_stats, mb):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(
+            variables, mb["obs"].astype(jnp.float32), train=True,
+            mutable=["batch_stats"],
+        )
+        logp = distributions.log_prob(out.logits, mb["actions"])
+        ent = distributions.entropy(out.logits)
+        values = out.value
+
+        adv = mb["advantages"]
+        if cfg.normalize_advantage:
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+        log_ratio = logp - mb["old_log_probs"]
+        ratio = jnp.exp(log_ratio)
+        pg1 = adv * ratio
+        pg2 = adv * jnp.clip(ratio, 1.0 - cfg.clip_range, 1.0 + cfg.clip_range)
+        policy_loss = -jnp.minimum(pg1, pg2).mean()
+
+        if cfg.clip_range_vf is None:
+            values_pred = values
+        else:
+            values_pred = mb["old_values"] + jnp.clip(
+                values - mb["old_values"], -cfg.clip_range_vf, cfg.clip_range_vf
+            )
+        value_loss = jnp.mean((mb["returns"] - values_pred) ** 2)
+
+        entropy_loss = -ent.mean()
+        loss = (
+            policy_loss * cfg.policy_loss_mult
+            + cfg.ent_coef * entropy_loss
+            + cfg.vf_coef * value_loss
+        )
+        approx_kl = jnp.mean(jnp.expm1(log_ratio) - log_ratio)
+        clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_range).astype(jnp.float32))
+        aux = (mutated["batch_stats"], policy_loss, value_loss, entropy_loss,
+               approx_kl, clip_frac)
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def mb_step(carry, idx):
+        params, batch_stats, opt_state, cont, sums = carry
+
+        def live(_):
+            mb = {
+                "obs": obs[idx],
+                "actions": actions[idx],
+                "old_log_probs": old_log_probs[idx],
+                "old_values": old_values[idx],
+                "advantages": advantages[idx],
+                "returns": returns[idx],
+            }
+            (loss, aux), grads = grad_fn(params, batch_stats, mb)
+            new_stats, pg, vl, el, kl, cf = aux
+            if kl_threshold is not None:
+                keep = kl <= kl_threshold
+            else:
+                keep = jnp.asarray(True)
+
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+
+            sel = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.where(keep, x, y), a, b
+            )
+            metrics = jnp.stack([pg, vl, el, kl, cf, jnp.asarray(1.0, jnp.float32)])
+            return (
+                sel(new_params, params),
+                sel(new_stats, batch_stats),
+                sel(new_opt, opt_state),
+                cont & keep,
+                sums + jnp.where(keep, metrics, jnp.zeros_like(metrics)),
+            )
+
+        def skipped(_):
+            return (params, batch_stats, opt_state, cont, sums)
+
+        return jax.lax.cond(cont, live, skipped, None), None
+
+    sums0 = jnp.zeros(6, jnp.float32)
+    carry0 = (ts.params, ts.batch_stats, ts.opt_state, jnp.asarray(True), sums0)
+    (params, batch_stats, opt_state, _, sums), _ = jax.lax.scan(
+        mb_step, carry0, mb_indices
+    )
+
+    n_done = jnp.maximum(sums[5], 1.0)
+    var_ret = jnp.var(returns)
+    ev = jnp.where(var_ret > 0, 1.0 - jnp.var(returns - old_values) / var_ret, 0.0)
+    metrics = UpdateMetrics(
+        policy_loss=sums[0] / n_done,
+        value_loss=sums[1] / n_done,
+        entropy_loss=sums[2] / n_done,
+        approx_kl=sums[3] / n_done,
+        clip_fraction=sums[4] / n_done,
+        n_minibatches_done=sums[5],
+        explained_variance=ev,
+    )
+    return PPOTrainState(params, batch_stats, opt_state), metrics

@@ -1,0 +1,220 @@
+"""Training runner: the single loop replacing the reference's
+SB3 learn() / rsl_rl OnPolicyRunner pair (SURVEY §3.1, §3.5).
+
+Each iteration is ONE jitted function — rollout scan (128 env steps), GAE,
+and the full 5-epoch minibatched PPO update — executed over the device mesh
+with env-axis sharding.  Only scalar metrics return to host.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from collections import deque
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gennbv_tpu import spec
+from gennbv_tpu.algo import evaluation, gae, ppo, rollout
+from gennbv_tpu.config import Config, config_to_dict, eval_env_config
+from gennbv_tpu.env import ReconEnv, make_scenes
+from gennbv_tpu.models import init_policy
+from gennbv_tpu.parallel import mesh as mesh_lib
+from gennbv_tpu.utils.checkpoint import CheckpointManager
+from gennbv_tpu.utils.logger import Logger
+
+
+class Runner:
+    def __init__(self, cfg: Config, scenes=None, eval_scenes=None,
+                 log_dir: Optional[str] = None):
+        self.cfg = cfg
+        rng = jax.random.PRNGKey(cfg.runner.seed)
+        self.rng, model_rng = jax.random.split(rng)
+
+        self.scenes = scenes if scenes is not None else make_scenes(
+            cfg.env.scene, cfg.env.renderer.resolution
+        )
+        self.env = ReconEnv(cfg.env, self.scenes)
+        self.eval_env = None
+        if eval_scenes is not None:
+            self.eval_env = ReconEnv(eval_env_config(cfg.env), eval_scenes)
+
+        self.model, variables = init_policy(cfg.model, model_rng, self.env.obs_dim)
+        self.tx = ppo.make_optimizer(cfg.ppo)
+        self.train_state = ppo.PPOTrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+        )
+
+        # device mesh: env axis sharded, params replicated (GSPMD)
+        self.mesh = mesh_lib.make_mesh(cfg.runner.num_devices)
+        self.multi_device = len(self.mesh.devices.flatten()) > 1
+
+        self.log_dir = log_dir or os.path.join(
+            cfg.runner.log_dir,
+            f"{cfg.runner.experiment_name}_{time.strftime('%Y%m%d_%H%M%S')}",
+        )
+        self.logger: Optional[Logger] = None
+        self.ckpt: Optional[CheckpointManager] = None
+
+        self.obs_dtype = jnp.bfloat16 if cfg.runner.obs_dtype == "bfloat16" else jnp.float32
+        self._train_iter = jax.jit(self._train_iteration, donate_argnums=(0, 1, 2))
+
+        # rolling 100-episode stats (env_train_base.py:629-639)
+        self._rew_buffer: deque = deque(maxlen=100)
+        self._len_buffer: deque = deque(maxlen=100)
+        self.global_step = 0
+        self.iteration = 0
+        self._best_metric = -float("inf")
+
+    # ------------------------------------------------------------------
+    def _train_iteration(self, ts: ppo.PPOTrainState, env_state, obs, rng):
+        cfg = self.cfg.ppo
+        r_roll, r_upd, rng = jax.random.split(rng, 3)
+        variables = {"params": ts.params, "batch_stats": ts.batch_stats}
+
+        env_state, obs, batch, stats = rollout.collect(
+            self.env, self.model, variables, env_state, obs, r_roll,
+            cfg.n_steps, cfg.gamma, self.obs_dtype,
+        )
+        adv, ret = gae.compute_gae(
+            batch.rewards, batch.values, batch.dones.astype(jnp.float32),
+            batch.last_values, cfg.gamma, cfg.gae_lambda,
+        )
+
+        t, n = batch.rewards.shape
+        m = t * n
+        flat = lambda x: x.reshape((m,) + x.shape[2:])
+        ts, upd = ppo.update(
+            self.model, self.tx, cfg, ts,
+            flat(batch.obs), flat(batch.actions), flat(batch.log_probs),
+            flat(batch.values), flat(adv), flat(ret), r_upd,
+        )
+
+        # rollout metric aggregation (reference extras["episode"] keys)
+        n_done = jnp.maximum(stats.num_dones.sum(), 1.0)
+        els = spec.EPISODE_LENGTH_S
+        metrics = {
+            "rollout/rew_surface_coverage": stats.ep_rew_coverage.sum() / n_done / els,
+            "rollout/rew_short_path": stats.ep_rew_short_path.sum() / n_done / els,
+            "rollout/rew_termination": stats.ep_rew_termination.sum() / n_done / els,
+            "rollout/episode_reward": stats.ep_reward.sum() / n_done,
+            "rollout/episode_length": stats.ep_length.sum() / n_done,
+            "rollout/final_coverage": (stats.coverage * stats.num_dones).sum() / n_done,
+            "rollout/collision_rate": stats.collision.sum() / n_done,
+            "rollout/num_episodes": stats.num_dones.sum(),
+            "rollout/mean_reward_per_step": batch.rewards.mean(),
+            "train/policy_gradient_loss": upd.policy_loss,
+            "train/value_loss": upd.value_loss,
+            "train/entropy_loss": upd.entropy_loss,
+            "train/approx_kl": upd.approx_kl,
+            "train/clip_fraction": upd.clip_fraction,
+            "train/n_minibatches": upd.n_minibatches_done,
+            "train/explained_variance": upd.explained_variance,
+        }
+        return ts, env_state, obs, rng, metrics
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        """Reset env; stagger initial episode lengths like the reference
+        (base_class_grid_obs.py:471-475)."""
+        n = self.cfg.env.num_envs
+        env_state, out = self.env.reset(n)
+        self.rng, r = jax.random.split(self.rng)
+        staggered = jax.random.randint(
+            r, (n,), 1, self.cfg.env.max_episode_length
+        ).astype(jnp.int32)
+        env_state = env_state._replace(episode_len=staggered)
+        obs = out.obs
+        if self.multi_device:
+            env_state = mesh_lib.shard_env_tree(env_state, self.mesh)
+            obs = jax.device_put(obs, mesh_lib.env_sharding(self.mesh))
+            self.train_state = mesh_lib.replicate_tree(self.train_state, self.mesh)
+        return env_state, obs
+
+    def train(self, num_iterations: Optional[int] = None, log: bool = True):
+        cfg = self.cfg
+        num_iterations = num_iterations or cfg.ppo.total_iters
+        if log and self.logger is None:
+            self.logger = Logger(
+                self.log_dir, config=config_to_dict(cfg), use_wandb=cfg.runner.wandb,
+                run_name=cfg.runner.experiment_name,
+            )
+            self.ckpt = CheckpointManager(os.path.join(self.log_dir, "models"))
+
+        env_state, obs = self.setup()
+        ts = self.train_state
+        steps_per_iter = cfg.ppo.n_steps * cfg.env.num_envs
+        last_metrics = {}
+
+        for it in range(num_iterations):
+            t0 = time.time()
+            ts, env_state, obs, self.rng, metrics = self._train_iter(
+                ts, env_state, obs, self.rng
+            )
+            metrics = {k: float(v) for k, v in metrics.items()}
+            dt_iter = time.time() - t0
+            self.global_step += steps_per_iter
+            self.iteration += 1
+
+            metrics["time/fps"] = steps_per_iter / dt_iter
+            metrics["time/iter_seconds"] = dt_iter
+            metrics["global_step"] = self.global_step
+
+            # rolling episode stats for best-ckpt selection
+            n_ep = metrics.get("rollout/num_episodes", 0.0)
+            if n_ep > 0:
+                self._rew_buffer.append(metrics["rollout/episode_reward"])
+                self._len_buffer.append(metrics["rollout/episode_length"])
+            if self._rew_buffer:
+                metrics["rollout/episode_reward_rolling"] = float(
+                    np.mean(self._rew_buffer)
+                )
+
+            if self.eval_env is not None and cfg.runner.eval_freq > 0 and (
+                self.iteration % cfg.runner.eval_freq == 0
+            ):
+                res = evaluation.evaluate(
+                    self.eval_env, self.model,
+                    {"params": ts.params, "batch_stats": ts.batch_stats},
+                )
+                metrics.update({
+                    "eval/mean_reward": res.mean_reward,
+                    "eval/mean_AUC": res.mean_auc,
+                    "eval/mean_accuracy": res.mean_accuracy_cm,
+                    "eval/mean_ep_length": res.mean_ep_length,
+                    "eval/final_coverage": res.mean_final_coverage,
+                })
+
+            if self.logger is not None:
+                self.logger.log(metrics, self.iteration)
+                if self.iteration % cfg.runner.log_interval == 0:
+                    self.logger.print_table(metrics, self.iteration)
+            if self.ckpt is not None and cfg.runner.save_freq > 0 and (
+                self.iteration % cfg.runner.save_freq == 0
+            ):
+                self.ckpt.save_step(self.global_step, ts)
+            roll = metrics.get("rollout/episode_reward_rolling", -float("inf"))
+            if self.ckpt is not None and roll > self._best_metric:
+                self._best_metric = roll
+                self.ckpt.save_best(cfg.runner.best_metric, ts)
+
+            last_metrics = metrics
+
+        self.train_state = ts
+        self._final_env_state = env_state
+        self._final_obs = obs
+        return last_metrics
+
+    # ------------------------------------------------------------------
+    def variables(self):
+        return {"params": self.train_state.params,
+                "batch_stats": self.train_state.batch_stats}
+
+    def close(self):
+        if self.logger is not None:
+            self.logger.close()

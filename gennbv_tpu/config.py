@@ -45,10 +45,22 @@ class SceneConfig:
 
 
 @dataclass
+class RewardConfig:
+    """Pre-dt reward scales (config_gennbv_train.py:13-20); effective
+    per-step scale = scale * dt (drone_robot.py:874-884)."""
+    surface_coverage: float = 1000.0
+    short_path: float = 5.0
+    termination: float = 50.0
+    only_positive: bool = True
+    dt: float = spec.DT
+
+
+@dataclass
 class EnvConfig:
     num_envs: int = spec.PPO_NUM_ENVS
     max_episode_length: int = spec.MAX_EPISODE_LENGTH_TRAIN
     coverage_done_threshold: Optional[float] = spec.COVERAGE_DONE_THRESHOLD_TRAIN
+    reward: RewardConfig = field(default_factory=RewardConfig)
     pose_buf_len: int = spec.POSE_BUF_LEN
     rgb_k: int = spec.RGB_K
     rgb_h: int = spec.RGB_H
@@ -61,6 +73,23 @@ class EnvConfig:
     camera: CameraConfig = field(default_factory=CameraConfig)
     renderer: RendererConfig = field(default_factory=RendererConfig)
     scene: SceneConfig = field(default_factory=SceneConfig)
+
+
+def eval_env_config(train_cfg: EnvConfig) -> EnvConfig:
+    """The eval-env variant (config_gennbv_eval.py:6-14 +
+    env_eval_gennbv check_termination): 30-step episodes, only the
+    surface-coverage reward at scale 50, no positive clipping, no
+    coverage-threshold termination."""
+    return dataclasses.replace(
+        train_cfg,
+        num_envs=spec.EVAL_NUM_ENVS,
+        max_episode_length=spec.MAX_EPISODE_LENGTH_EVAL,
+        coverage_done_threshold=None,
+        reward=RewardConfig(
+            surface_coverage=50.0, short_path=0.0, termination=0.0,
+            only_positive=False,
+        ),
+    )
 
 
 @dataclass

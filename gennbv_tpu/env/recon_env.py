@@ -216,14 +216,15 @@ class ReconEnv:
         )
         rgb_buf = jnp.concatenate([state.rgb_buf[:, 1:], gray[:, None]], axis=1)
 
-        # rewards (scales pre-multiplied by dt, spec.py)
-        r_cov = (ratio - state.coverage) * spec.REWARD_SCALE_SURFACE_COVERAGE
+        # rewards (scale * dt semantics, config.RewardConfig)
+        rc = cfg.reward
+        r_cov = (ratio - state.coverage) * (rc.surface_coverage * rc.dt)
         extra = jnp.clip(
             episode_len - spec.SHORT_PATH_FREE_STEPS, 0, spec.SHORT_PATH_MAX_EXTRA
         ).astype(jnp.float32)
-        r_sp = -extra * spec.REWARD_SCALE_SHORT_PATH
+        r_sp = -extra * (rc.short_path * rc.dt)
         rew = r_cov + r_sp
-        if spec.ONLY_POSITIVE_REWARDS:
+        if rc.only_positive:
             rew = jnp.maximum(rew, 0.0)
 
         # termination
@@ -231,7 +232,7 @@ class ReconEnv:
         done = collision | time_out
         if cfg.coverage_done_threshold is not None:
             done = done | (ratio > cfg.coverage_done_threshold)
-        r_term = (done & ~time_out).astype(jnp.float32) * spec.REWARD_SCALE_TERMINATION
+        r_term = (done & ~time_out).astype(jnp.float32) * (rc.termination * rc.dt)
         rew = rew + r_term
 
         # episode accounting (pre-reset values surfaced where done)

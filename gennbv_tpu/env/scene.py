@@ -40,6 +40,11 @@ class SceneSet(NamedTuple):
     voxel_size: jnp.ndarray    # [S, 3]
     range_gt: jnp.ndarray      # [S, 6]
     num_valid_voxel: jnp.ndarray  # [S] float32
+    # GT surface point cloud for the chamfer accuracy metric (the analogue of
+    # data_gennbv/eval/gt/point_cloud, env_eval_gennbv.py:94-102); padded to a
+    # fixed count with a validity mask
+    gt_points: jnp.ndarray     # [S, Q, 3] float32
+    gt_points_mask: jnp.ndarray  # [S, Q] bool
     grid_res: int              # R (static)
     grid_size: int             # G (static)
 
@@ -172,7 +177,22 @@ def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
     return occ
 
 
-def generate_procedural(cfg: SceneConfig, grid_res: int) -> SceneSet:
+def _surface_points(surface: np.ndarray, box_lo: np.ndarray, vsize: np.ndarray,
+                    max_points: int, rng: np.random.RandomState):
+    """Surface render-voxel centers as a padded GT point cloud."""
+    idx = np.argwhere(surface)
+    pts = (idx + 0.5) * vsize[None, :] + box_lo[None, :]
+    if len(pts) > max_points:
+        pts = pts[rng.choice(len(pts), max_points, replace=False)]
+    mask = np.zeros(max_points, dtype=bool)
+    mask[: len(pts)] = True
+    out = np.zeros((max_points, 3), dtype=np.float32)
+    out[: len(pts)] = pts
+    return out, mask
+
+
+def generate_procedural(cfg: SceneConfig, grid_res: int,
+                        max_gt_points: int = 8192) -> SceneSet:
     """Build a SceneSet of procedural houses (host-side numpy; runs once)."""
     rng = np.random.RandomState(cfg.seed)
     s, g, r = cfg.num_scenes, cfg.grid_size, grid_res
@@ -183,6 +203,8 @@ def generate_procedural(cfg: SceneConfig, grid_res: int) -> SceneSet:
     grid_gt = np.zeros((s, g, g, g), dtype=np.float32)
     voxel_size = np.zeros((s, 3), dtype=np.float32)
     range_gt = np.zeros((s, 6), dtype=np.float32)
+    gt_points = np.zeros((s, max_gt_points, 3), dtype=np.float32)
+    gt_points_mask = np.zeros((s, max_gt_points), dtype=bool)
 
     for i in range(s):
         e_xy = cfg.extent_xy * rng.uniform(0.85, 1.15)
@@ -201,6 +223,9 @@ def generate_procedural(cfg: SceneConfig, grid_res: int) -> SceneSet:
         occ = _gen_house(rng, r, lo, hi)
         surface = _surface_from_solid(occ)
         grid_gt[i] = _downsample_surface(surface, r, g)
+        gt_points[i], gt_points_mask[i] = _surface_points(
+            surface, lo, (hi - lo) / r, max_gt_points, rng
+        )
 
         render_occ[i] = occ.reshape(-1)
         box_lo[i], box_hi[i] = lo, hi
@@ -215,6 +240,8 @@ def generate_procedural(cfg: SceneConfig, grid_res: int) -> SceneSet:
         voxel_size=jnp.asarray(voxel_size),
         range_gt=jnp.asarray(range_gt),
         num_valid_voxel=jnp.asarray(grid_gt.sum(axis=(1, 2, 3))),
+        gt_points=jnp.asarray(gt_points),
+        gt_points_mask=jnp.asarray(gt_points_mask),
         grid_res=r,
         grid_size=g,
     )
@@ -257,6 +284,20 @@ def load_reference_gt(gt_grid: np.ndarray, grid_res: int) -> SceneSet:
         idx = np.floor((np.arange(r) + 0.5) * g / r).astype(int)
         render = occ_g.astype(np.uint8)[:, idx][:, :, idx][:, :, :, idx]
 
+    # GT point cloud: GT-voxel centers of occupied cells
+    max_q = 8192
+    gt_points = np.zeros((s, max_q, 3), dtype=np.float32)
+    gt_points_mask = np.zeros((s, max_q), dtype=bool)
+    rng = np.random.RandomState(0)
+    for i in range(s):
+        idx = np.argwhere(occ_g[i] > 0)
+        mins = np.array([range_gt[i, 1], range_gt[i, 3], range_gt[i, 5]])
+        pts = mins[None, :] + idx * voxel_size[i][None, :]
+        if len(pts) > max_q:
+            pts = pts[rng.choice(len(pts), max_q, replace=False)]
+        gt_points[i, : len(pts)] = pts
+        gt_points_mask[i, : len(pts)] = True
+
     return SceneSet(
         render_occ=jnp.asarray(render.reshape(s, -1)),
         box_lo=jnp.asarray(box_lo.astype(np.float32)),
@@ -265,16 +306,39 @@ def load_reference_gt(gt_grid: np.ndarray, grid_res: int) -> SceneSet:
         voxel_size=jnp.asarray(voxel_size),
         range_gt=jnp.asarray(range_gt),
         num_valid_voxel=jnp.asarray(occ_g.sum(axis=(1, 2, 3))),
+        gt_points=jnp.asarray(gt_points),
+        gt_points_mask=jnp.asarray(gt_points_mask),
         grid_res=r,
         grid_size=g,
+    )
+
+
+def load_npz(path: str) -> SceneSet:
+    """Load a SceneSet written by tools/convert_dataset.py."""
+    d = np.load(path)
+    return SceneSet(
+        render_occ=jnp.asarray(d["render_occ"]),
+        box_lo=jnp.asarray(d["box_lo"]),
+        box_hi=jnp.asarray(d["box_hi"]),
+        grid_gt=jnp.asarray(d["grid_gt"]),
+        voxel_size=jnp.asarray(d["voxel_size"]),
+        range_gt=jnp.asarray(d["range_gt"]),
+        num_valid_voxel=jnp.asarray(d["grid_gt"].sum(axis=(1, 2, 3))),
+        gt_points=jnp.asarray(d["gt_points"]),
+        gt_points_mask=jnp.asarray(d["gt_points_mask"]),
+        grid_res=int(d["grid_res"]),
+        grid_size=int(d["grid_size"]),
     )
 
 
 def make_scenes(cfg: SceneConfig, grid_res: int) -> SceneSet:
     if cfg.dataset == "procedural":
         return generate_procedural(cfg, grid_res)
-    # a directory containing gt_grid.npy in reference layout
     import os
+    npz = os.path.join(cfg.dataset, "scenes.npz")
+    if os.path.exists(npz):
+        return load_npz(npz)
+    # a directory containing gt_grid.npy in reference layout ([S, X, Y, Z, 4])
     gt = np.load(os.path.join(cfg.dataset, "gt_grid.npy"))
     return load_reference_gt(gt, grid_res)
 

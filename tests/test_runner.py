@@ -1,0 +1,90 @@
+"""End-to-end runner tests: train iterations execute, metrics are finite,
+checkpoints round-trip, eval harness runs, multi-device sharding works on the
+virtual 8-device CPU mesh."""
+import dataclasses
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gennbv_tpu import spec
+from gennbv_tpu.config import (CameraConfig, Config, EnvConfig, PPOConfig,
+                               RendererConfig, RunnerConfig, SceneConfig,
+                               eval_env_config)
+from gennbv_tpu.algo import evaluation
+from gennbv_tpu.algo.runner import Runner
+from gennbv_tpu.env import ReconEnv, make_scenes
+
+
+def tiny_config(num_envs=4, n_steps=8, num_devices=1):
+    return Config(
+        env=EnvConfig(
+            num_envs=num_envs,
+            camera=CameraConfig(height=32, width=32),
+            renderer=RendererConfig(resolution=24, use_pallas=False),
+            scene=SceneConfig(num_scenes=num_envs, seed=0),
+            max_episode_length=12,
+        ),
+        ppo=PPOConfig(n_steps=n_steps, batch_size=16, n_epochs=2, total_iters=2),
+        runner=RunnerConfig(seed=1, save_freq=0, num_devices=num_devices),
+    )
+
+
+class TestRunner:
+    def test_two_iterations_metrics_finite(self, tmp_path):
+        cfg = tiny_config()
+        runner = Runner(cfg, log_dir=str(tmp_path / "run"))
+        metrics = runner.train(2, log=True)
+        runner.close()
+        for k, v in metrics.items():
+            assert np.isfinite(v), f"{k} is not finite: {v}"
+        assert metrics["rollout/num_episodes"] > 0
+        assert metrics["train/n_minibatches"] > 0
+        assert os.path.exists(tmp_path / "run" / "metrics.jsonl")
+
+    def test_multi_device_sharding(self, tmp_path):
+        assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+        cfg = tiny_config(num_envs=8, num_devices=8)
+        runner = Runner(cfg, log_dir=str(tmp_path / "run8"))
+        metrics = runner.train(2, log=False)
+        runner.close()
+        assert np.isfinite(metrics["rollout/episode_reward"])
+        assert np.isfinite(metrics["train/policy_gradient_loss"])
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from gennbv_tpu.utils.checkpoint import CheckpointManager
+        cfg = tiny_config()
+        runner = Runner(cfg, log_dir=str(tmp_path / "ckpt_run"))
+        cm = CheckpointManager(str(tmp_path / "models"))
+        cm.save_step(100, runner.train_state)
+        restored = cm.restore("rl_model_100_steps", runner.train_state)
+        for a, b in zip(jax.tree.leaves(runner.train_state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.array(a), np.array(b))
+        assert cm.latest_step() == 100
+
+
+class TestEvaluation:
+    def test_eval_protocol(self):
+        cfg = tiny_config(num_envs=4)
+        eval_cfg = eval_env_config(cfg.env)
+        eval_cfg = dataclasses.replace(eval_cfg, num_envs=4, max_episode_length=6)
+        scenes = make_scenes(cfg.env.scene, cfg.env.renderer.resolution)
+        env = ReconEnv(eval_cfg, scenes)
+        from gennbv_tpu.models import init_policy
+        model, variables = init_policy(cfg.model, jax.random.PRNGKey(0), env.obs_dim)
+        res = evaluation.evaluate(env, model, variables, point_stride=4)
+        assert 0.0 <= res.mean_final_coverage <= 1.0
+        assert res.mean_ep_length <= 6
+        assert np.isfinite(res.mean_auc)
+        assert np.isfinite(res.mean_reward)
+        # eval reward scale: coverage delta * 50 * dt = coverage delta * 1.0;
+        # rewards exclude the init step, so reward <= final coverage
+        assert res.mean_reward <= res.mean_final_coverage + 1e-4
+        # accuracy is finite whenever the init view scanned the object; with an
+        # untrained policy coverage is low so the gt->scanned chamfer term is
+        # large — just require a sane positive value
+        assert np.isfinite(res.mean_accuracy_cm)
+        assert res.mean_accuracy_cm > 0.0
