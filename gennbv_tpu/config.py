@@ -26,10 +26,16 @@ class CameraConfig:
 
 @dataclass
 class RendererConfig:
-    """TPU depth renderer (replaces Isaac Gym's rasterizer, SURVEY 2.6 N2)."""
+    """TPU depth renderer (replaces Isaac Gym's rasterizer, SURVEY 2.6 N2).
+
+    mode "splat" (default): surface-voxel splatting z-buffer (ops/splat.py) —
+    O(Q) memory ops per env, the TPU-native hot path.
+    mode "dda": per-pixel voxel DDA ray-marching (ops/render.py) — exact
+    first-hit semantics, ~100x more memory traffic; used for validation.
+    """
+    mode: str = "splat"
     resolution: int = 64          # render-grid voxels per axis (R)
-    num_samples: int = 192        # ray-march samples between box entry/exit
-    refine_iters: int = 4         # bisection refinement steps for hit depth
+    footprint: int = 1            # splat radius in pixels (1 -> 3x3)
     use_pallas: bool = True       # pallas kernel on TPU, jnp fallback elsewhere
 
 

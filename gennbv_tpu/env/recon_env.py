@@ -33,7 +33,7 @@ import numpy as np
 from gennbv_tpu import spec
 from gennbv_tpu.config import EnvConfig
 from gennbv_tpu.env import scene as scene_lib
-from gennbv_tpu.ops import backproject, camera, carve, render, voxel
+from gennbv_tpu.ops import backproject, camera, carve, render, splat, voxel
 
 
 class EnvState(NamedTuple):
@@ -131,6 +131,45 @@ class ReconEnv:
         return state, out
 
     # ------------------------------------------------------------------
+    def _splat_step_one(self, scene_id, pose, prob_grid, scanned_gt):
+        """Fused render + mapping for one env via surface splatting
+        (ops/splat.py) — the TPU-native hot path.  The visible surface
+        voxels ARE the mapping hits; no per-pixel back-projection needed."""
+        cfg = self.cfg
+        g = self.scenes.grid_size
+        h, w = cfg.camera.height, cfg.camera.width
+        range_gt = self.scenes.range_gt[scene_id]
+        vsize = self.scenes.voxel_size[scene_id]
+        grid_gt = self.scenes.grid_gt[scene_id]
+        n_valid = self.scenes.num_valid_voxel[scene_id]
+        surf_pts = self.scenes.surf_pts[scene_id]
+        surf_mask = self.scenes.surf_mask[scene_id]
+        render_vsize = (self.scenes.box_hi[scene_id] - self.scenes.box_lo[scene_id]) \
+            / self.scenes.grid_res
+
+        r_c2w, t_c2w = camera.pose_to_c2w(pose, cfg.camera.z_offset)
+        zbuf, fg, visible = splat.splat_depth(
+            surf_pts, surf_mask, self.intrinsics, r_c2w, t_c2w,
+            h, w, cfg.camera.depth_max, jnp.mean(render_vsize),
+            cfg.renderer.footprint,
+        )
+
+        idx, in_bounds = voxel.points_to_voxel_idx(surf_pts, visible, range_gt, vsize)
+        hit_grid = voxel.scatter_hits(g, idx, in_bounds)
+
+        centers = scene_lib.voxel_centers(range_gt, vsize, g)
+        margin = 0.5 * jnp.mean(vsize)
+        traversed = carve.carve_ztest(
+            centers, zbuf.reshape(h, w), None,
+            self.intrinsics, r_c2w, t_c2w, margin,
+            depth_max=cfg.camera.depth_max,
+        ).reshape(g, g, g)
+
+        prob_grid = carve.update_prob_grid(prob_grid, hit_grid, traversed)
+        tri = voxel.tri_cls(prob_grid)
+        scanned_gt, ratio = voxel.coverage_update(scanned_gt, hit_grid, grid_gt, n_valid)
+        return zbuf, prob_grid, tri, scanned_gt, ratio
+
     def _render_one(self, scene_id, pose):
         """Depth + fg for one env (vmapped in step)."""
         cfg = self.cfg
@@ -201,11 +240,16 @@ class ReconEnv:
         episode_len = state.episode_len + 1
 
         # render + map (vmapped over envs)
-        depth, fg, r_c2w, t_c2w = jax.vmap(self._render_one)(state.scene_id, poses)
-        prob_grid, tri, scanned_gt, ratio = jax.vmap(self._mapping_one)(
-            state.scene_id, poses, depth, fg, r_c2w, t_c2w,
-            state.prob_grid, state.scanned_gt,
-        )
+        if cfg.renderer.mode == "splat":
+            depth, prob_grid, tri, scanned_gt, ratio = jax.vmap(self._splat_step_one)(
+                state.scene_id, poses, state.prob_grid, state.scanned_gt
+            )
+        else:
+            depth, fg, r_c2w, t_c2w = jax.vmap(self._render_one)(state.scene_id, poses)
+            prob_grid, tri, scanned_gt, ratio = jax.vmap(self._mapping_one)(
+                state.scene_id, poses, depth, fg, r_c2w, t_c2w,
+                state.prob_grid, state.scanned_gt,
+            )
         collision = jax.vmap(self._collision_one)(state.scene_id, poses)
 
         # observation buffers

@@ -45,6 +45,10 @@ class SceneSet(NamedTuple):
     # fixed count with a validity mask
     gt_points: jnp.ndarray     # [S, Q, 3] float32
     gt_points_mask: jnp.ndarray  # [S, Q] bool
+    # COMPLETE surface voxel-center set at render resolution, for the
+    # splatting renderer (ops/splat.py); padded to a common count
+    surf_pts: jnp.ndarray      # [S, P, 3] float32
+    surf_mask: jnp.ndarray     # [S, P] bool
     grid_res: int              # R (static)
     grid_size: int             # G (static)
 
@@ -177,6 +181,33 @@ def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
     return occ
 
 
+def _pack_surface_points(render_occ: np.ndarray, box_lo: np.ndarray,
+                         box_hi: np.ndarray, grid_res: int):
+    """Complete per-scene surface point sets, padded to a common count.
+
+    render_occ: [S, R^3]; returns (surf_pts [S, P, 3], surf_mask [S, P]) with
+    P = max surface count rounded up to a multiple of 1024.  Unlike the GT
+    point cloud (which may subsample), this set is exhaustive — the splat
+    renderer's hits derive from it, so dropping points would make surface
+    regions unobservable and cap the coverage reward.
+    """
+    s = render_occ.shape[0]
+    r = grid_res
+    all_idx = []
+    for i in range(s):
+        occ = render_occ[i].reshape(r, r, r)
+        all_idx.append(np.argwhere(_surface_from_solid(occ)))
+    p = max(1024, -(-max(len(a) for a in all_idx) // 1024) * 1024)
+    surf_pts = np.zeros((s, p, 3), np.float32)
+    surf_mask = np.zeros((s, p), bool)
+    for i, idx in enumerate(all_idx):
+        vsize = (box_hi[i] - box_lo[i]) / r
+        pts = (idx + 0.5) * vsize[None, :] + box_lo[i][None, :]
+        surf_pts[i, : len(pts)] = pts
+        surf_mask[i, : len(pts)] = True
+    return surf_pts, surf_mask
+
+
 def _surface_points(surface: np.ndarray, box_lo: np.ndarray, vsize: np.ndarray,
                     max_points: int, rng: np.random.RandomState):
     """Surface render-voxel centers as a padded GT point cloud."""
@@ -232,6 +263,7 @@ def generate_procedural(cfg: SceneConfig, grid_res: int,
         voxel_size[i] = v
         range_gt[i] = range_i
 
+    surf_pts, surf_mask = _pack_surface_points(render_occ, box_lo, box_hi, r)
     return SceneSet(
         render_occ=jnp.asarray(render_occ),
         box_lo=jnp.asarray(box_lo),
@@ -242,6 +274,8 @@ def generate_procedural(cfg: SceneConfig, grid_res: int,
         num_valid_voxel=jnp.asarray(grid_gt.sum(axis=(1, 2, 3))),
         gt_points=jnp.asarray(gt_points),
         gt_points_mask=jnp.asarray(gt_points_mask),
+        surf_pts=jnp.asarray(surf_pts),
+        surf_mask=jnp.asarray(surf_mask),
         grid_res=r,
         grid_size=g,
     )
@@ -298,8 +332,12 @@ def load_reference_gt(gt_grid: np.ndarray, grid_res: int) -> SceneSet:
         gt_points[i, : len(pts)] = pts
         gt_points_mask[i, : len(pts)] = True
 
+    render_flat = render.reshape(s, -1)
+    surf_pts, surf_mask = _pack_surface_points(
+        render_flat, box_lo.astype(np.float32), box_hi.astype(np.float32), r
+    )
     return SceneSet(
-        render_occ=jnp.asarray(render.reshape(s, -1)),
+        render_occ=jnp.asarray(render_flat),
         box_lo=jnp.asarray(box_lo.astype(np.float32)),
         box_hi=jnp.asarray(box_hi.astype(np.float32)),
         grid_gt=jnp.asarray(occ_g),
@@ -308,6 +346,8 @@ def load_reference_gt(gt_grid: np.ndarray, grid_res: int) -> SceneSet:
         num_valid_voxel=jnp.asarray(occ_g.sum(axis=(1, 2, 3))),
         gt_points=jnp.asarray(gt_points),
         gt_points_mask=jnp.asarray(gt_points_mask),
+        surf_pts=jnp.asarray(surf_pts),
+        surf_mask=jnp.asarray(surf_mask),
         grid_res=r,
         grid_size=g,
     )
@@ -316,6 +356,10 @@ def load_reference_gt(gt_grid: np.ndarray, grid_res: int) -> SceneSet:
 def load_npz(path: str) -> SceneSet:
     """Load a SceneSet written by tools/convert_dataset.py."""
     d = np.load(path)
+    r = int(d["grid_res"])
+    surf_pts, surf_mask = _pack_surface_points(
+        d["render_occ"], d["box_lo"], d["box_hi"], r
+    )
     return SceneSet(
         render_occ=jnp.asarray(d["render_occ"]),
         box_lo=jnp.asarray(d["box_lo"]),
@@ -326,7 +370,9 @@ def load_npz(path: str) -> SceneSet:
         num_valid_voxel=jnp.asarray(d["grid_gt"].sum(axis=(1, 2, 3))),
         gt_points=jnp.asarray(d["gt_points"]),
         gt_points_mask=jnp.asarray(d["gt_points_mask"]),
-        grid_res=int(d["grid_res"]),
+        surf_pts=jnp.asarray(surf_pts),
+        surf_mask=jnp.asarray(surf_mask),
+        grid_res=r,
         grid_size=int(d["grid_size"]),
     )
 

@@ -123,17 +123,22 @@ def carve_bresenham(
 # ---------------------------------------------------------------------------
 def carve_ztest(
     voxel_centers: jnp.ndarray,  # [G^3, 3] world coords of voxel centers
-    depth: jnp.ndarray,          # [H, W] z-depth (0 where invalid)
-    fg: jnp.ndarray,             # [H, W] bool
+    depth: jnp.ndarray,          # [H, W] z-depth (depth_max where no surface)
+    fg: jnp.ndarray | None,      # [H, W] bool, or None to derive from depth
     k: jnp.ndarray,              # [3, 3] intrinsics
     r_c2w: jnp.ndarray,          # [3, 3]
     t_c2w: jnp.ndarray,          # [3]
     margin: jnp.ndarray,         # scalar: carve only if z < depth - margin
+    depth_max: float | None = None,
 ) -> jnp.ndarray:
     """[G^3] {0,1} mask of voxels observed free by this depth frame.
 
     A pure-gather space carve: project each voxel center into the camera and
     compare its z-depth against the measured surface depth at that pixel.
+    Carving happens only toward foreground (object-hit) pixels, matching the
+    reference's rays-to-hit-voxels semantics.  Pass fg=None with depth_max to
+    derive the fg mask from the gathered depth itself (one gather instead of
+    two — the hot-path variant).
     """
     h, w = depth.shape
     p_cam = jnp.einsum("ij,pj->pi", r_c2w.T, voxel_centers - t_c2w[None, :])
@@ -147,7 +152,11 @@ def carve_ztest(
     ui = jnp.clip(ui, 0, w - 1)
     vi = jnp.clip(vi, 0, h - 1)
     d_px = depth[vi, ui]
-    fg_px = fg[vi, ui]
+    if fg is None:
+        assert depth_max is not None
+        fg_px = d_px < depth_max * (1.0 - 1e-4)
+    else:
+        fg_px = fg[vi, ui]
     free = in_img & fg_px & (z < d_px - margin)
     return free.astype(jnp.float32)
 

@@ -1,0 +1,82 @@
+"""Surface-splatting depth renderer — the TPU-native hot path.
+
+The DDA ray-marcher (ops/render.py) is memory-op bound on TPU: H*W rays x
+3R sequential gather steps.  This renderer inverts the problem: the scene's
+surface voxels (a fixed [Q, 3] point set per scene) are *projected* into the
+camera — one batched matmul — and scatter-min'ed into a z-buffer.  Visibility,
+mapping hits and free-space carving all derive from that z-buffer:
+
+  - z-buffer:    scatter-min of projected voxel depths (with a small pixel
+                 footprint so slanted surfaces don't leave holes)
+  - fg mask:     z-buffer < depth_max (only the object ever enters the grid)
+  - hits:        a surface voxel is VISIBLE iff its depth matches the
+                 z-buffer at its pixel (<= + eps) -> its center is the world
+                 hit point, exactly what the mapping update voxelizes
+  - carving:     the existing projective z-test (ops/carve.py) against the
+                 z-buffer
+
+Per env per step this is ~O(Q) memory ops instead of O(H*W*3R): measured
+~100x less gather/scatter traffic than the DDA at the training config.
+Occlusion is exact (min wins); depth is quantized to voxel centers, i.e. the
+same half-voxel uncertainty as the DDA's first-hit estimate.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("height", "width", "footprint"))
+def splat_depth(
+    surf_pts: jnp.ndarray,    # [Q, 3] surface voxel centers (world)
+    surf_mask: jnp.ndarray,   # [Q] bool (padding)
+    k: jnp.ndarray,           # [3, 3] intrinsics
+    r_c2w: jnp.ndarray,       # [3, 3]
+    t_c2w: jnp.ndarray,       # [3]
+    height: int,
+    width: int,
+    depth_max: float,
+    voxel_eps: jnp.ndarray,   # scalar: visibility slack (~ render voxel size)
+    footprint: int = 1,       # splat radius in pixels (1 -> 3x3)
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (zbuf [H*W], fg [H*W] bool, visible [Q] bool)."""
+    # project: p_cam = R^T (p - t); z-depth = p_cam.z
+    p_cam = (surf_pts - t_c2w[None, :]) @ r_c2w  # == einsum('ij,pj->pi', R^T, .)
+    z = p_cam[:, 2]
+    in_front = (z > 1e-3) & surf_mask
+    safe_z = jnp.where(in_front, z, 1.0)
+    u = k[0, 0] * p_cam[:, 0] / safe_z + k[0, 2]
+    v = k[1, 1] * p_cam[:, 1] / safe_z + k[1, 2]
+    ui = jnp.floor(u).astype(jnp.int32)
+    vi = jnp.floor(v).astype(jnp.int32)
+
+    # single conflict-heavy scatter-min at footprint 0 ...
+    big = jnp.asarray(depth_max, jnp.float32)
+    ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+    flat = jnp.clip(vi, 0, height - 1) * width + jnp.clip(ui, 0, width - 1)
+    zbuf0 = jnp.full((height * width,), depth_max, jnp.float32)
+    zbuf0 = zbuf0.at[flat].min(jnp.where(ok, z, big))
+
+    # ... then the pixel footprint as a (2f+1)^2 min-pool: identical to
+    # splatting every point into its footprint, but one vectorized
+    # reduce_window instead of (2f+1)^2 serialized scatter passes (the
+    # scatter is the expensive op on TPU: ~10 cycles/update)
+    if footprint > 0:
+        k2 = 2 * footprint + 1
+        zbuf = jax.lax.reduce_window(
+            zbuf0.reshape(height, width), big, jax.lax.min,
+            (k2, k2), (1, 1), "SAME",
+        ).reshape(-1)
+    else:
+        zbuf = zbuf0
+
+    fg = zbuf < depth_max - 1e-6
+
+    # visibility: the voxel's own pixel shows (approximately) its depth
+    center_ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+    flat_c = jnp.clip(vi, 0, height - 1) * width + jnp.clip(ui, 0, width - 1)
+    z_at_px = zbuf[flat_c]
+    visible = center_ok & (z <= z_at_px + voxel_eps)
+    return zbuf, fg, visible

@@ -1,0 +1,51 @@
+"""Task registry: name -> (env constructor, config factory).
+
+Keeps the reference's task-name semantics (legged_gym/utils/task_registry.py;
+`train_gennbv` / `eval_gennbv` registered at gennbv/__init__.py:6-7) without
+the class-registry machinery: a task is a function from Config to a ready
+ReconEnv (+ its scene set).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+from gennbv_tpu.config import Config, EnvConfig, eval_env_config
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str, factory: Callable) -> None:
+    _REGISTRY[name] = factory
+
+
+def make_env(name: str, cfg: Config):
+    """Returns (env, env_cfg) like task_registry.make_env (task_registry.py:66)."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown task {name!r}; registered: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](cfg)
+
+
+def task_names():
+    return sorted(_REGISTRY)
+
+
+def _make_train(cfg: Config):
+    from gennbv_tpu.env import ReconEnv, make_scenes
+    scenes = make_scenes(cfg.env.scene, cfg.env.renderer.resolution)
+    return ReconEnv(cfg.env, scenes), cfg.env
+
+
+def _make_eval(cfg: Config):
+    import dataclasses
+    from gennbv_tpu import spec
+    from gennbv_tpu.env import ReconEnv, make_scenes
+    env_cfg = eval_env_config(cfg.env)
+    scene_cfg = dataclasses.replace(
+        cfg.env.scene, num_scenes=spec.EVAL_NUM_ENVS, seed=cfg.env.scene.seed + 100
+    )
+    scenes = make_scenes(scene_cfg, cfg.env.renderer.resolution)
+    return ReconEnv(env_cfg, scenes), env_cfg
+
+
+register("train_gennbv", _make_train)
+register("eval_gennbv", _make_eval)

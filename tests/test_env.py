@@ -161,6 +161,7 @@ class TestScriptedCoverage:
         coverage — validates renderer/mapping/GT consistency end-to-end."""
         state, out = env.reset(4)
         cov0 = np.array(out.coverage)
+        best = cov0.copy()
         # 8 viewpoints around the house at two heights, looking inward
         cfg = env.cfg
         n_steps = 10
@@ -183,8 +184,8 @@ class TestScriptedCoverage:
             ).round().astype(np.int32)
             act = jnp.tile(jnp.asarray(idx)[None], (4, 1))
             state, out = env.step(state, act)
-        cov = np.array(out.coverage)
-        done = np.array(out.done)
-        final = np.where(done, cov, np.array(state.coverage))
-        assert (final > 0.55).all(), f"orbit coverage too low: {final}"
-        assert final.mean() > cov0.mean() + 0.2
+            # envs may finish early (coverage > 0.99 terminates); track the
+            # best coverage each env reached
+            best = np.maximum(best, np.array(out.coverage))
+        assert (best > 0.55).all(), f"orbit coverage too low: {best}"
+        assert best.mean() > cov0.mean() + 0.2
