@@ -380,6 +380,9 @@ def load_npz(path: str) -> SceneSet:
 def make_scenes(cfg: SceneConfig, grid_res: int) -> SceneSet:
     if cfg.dataset == "procedural":
         return generate_procedural(cfg, grid_res)
+    if cfg.dataset == "terrain":
+        from gennbv_tpu.env.terrain import generate_terrain
+        return generate_terrain(cfg, grid_res)
     import os
     npz = os.path.join(cfg.dataset, "scenes.npz")
     if os.path.exists(npz):
