@@ -24,7 +24,11 @@ class CheckpointManager:
         return os.path.join(self.ckpt_dir, name)
 
     def save(self, name: str, train_state: Any, force: bool = True):
-        tree = jax.tree.map(lambda x: x, train_state)  # shallow copy
+        # Fetch to host on the MAIN thread first: orbax's async writer pulls
+        # device arrays from a background thread, which deadlocks under
+        # tunneled PJRT backends (observed on axon: the save wrote metadata
+        # then hung the training loop indefinitely).
+        tree = jax.device_get(train_state)
         self._ckpt.save(self._path(name), tree, force=force)
         self._ckpt.wait_until_finished()
 
