@@ -46,6 +46,18 @@ class ContinuousPPOConfig:
     use_clipped_value_loss: bool = True
     min_lr: float = 1e-5
     max_lr: float = 1e-2
+    optimizer: str = "adam"   # "adam" | "rmsprop" (A2C uses rmsprop)
+
+
+def a2c_config(learning_rate: float = 7e-4, **kw) -> "ContinuousPPOConfig":
+    """A2C as the degenerate PPO (SB3 docs: 'A2C is a special case of PPO'):
+    one pass over the rollout, no ratio clipping (clip -> inf would change
+    the value-clip too, so a large finite clip), no KL adaptation, RMSprop
+    (stable_baselines3/a2c/a2c.py defaults)."""
+    return ContinuousPPOConfig(
+        num_learning_epochs=1, num_mini_batches=1, clip_param=100.0,
+        desired_kl=None, learning_rate=learning_rate,
+        use_clipped_value_loss=False, optimizer="rmsprop", **kw)
 
 
 class ContinuousTrainState(NamedTuple):
@@ -54,10 +66,17 @@ class ContinuousTrainState(NamedTuple):
 
 
 def make_optimizer(cfg: ContinuousPPOConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate),
-    )
+    if cfg.optimizer == "rmsprop":
+        # TF-style accumulator init (initial_scale=1): optax's zero-init makes
+        # the first updates ~ lr*g/(sqrt((1-decay))*|g|) ~ 10x lr * sign(g),
+        # which destroys the policy before learning starts (SB3's A2C uses
+        # RMSpropTFLike for the same reason, a2c/a2c.py).
+        opt = optax.inject_hyperparams(optax.rmsprop)(
+            learning_rate=cfg.learning_rate, decay=0.99, eps=1e-5,
+            initial_scale=1.0)
+    else:
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate)
+    return optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), opt)
 
 
 def current_lr(opt_state) -> jnp.ndarray:

@@ -175,3 +175,20 @@ def test_runner_save_load(tmp_path):
     np.testing.assert_allclose(
         np.asarray(runner.get_inference_policy()(x)),
         np.asarray(runner2.get_inference_policy()(x)), rtol=1e-6)
+
+
+def test_a2c_variant_learns():
+    """A2C (degenerate PPO: 1 epoch, no clip, TF-style RMSprop) learns
+    PointGoal in its natural regime: tiny rollouts (SB3 default n_steps=5),
+    many cheap updates — one gradient step per rollout makes A2C far more
+    update-hungry than PPO."""
+    env = PointGoalEnv(dim=2, ep_length=16)
+    runner = OnPolicyRunner(
+        env, ppoc.a2c_config(learning_rate=7e-4),
+        OnPolicyRunnerConfig(num_steps_per_env=5),
+        num_envs=64, seed=0, actor_hidden=(32, 32), critic_hidden=(32, 32))
+    runner.learn(1)
+    r0 = _det_eval(runner, env)
+    runner.learn(1500)
+    r1 = _det_eval(runner, env)
+    assert r1 > r0 + 0.4, (r0, r1)
