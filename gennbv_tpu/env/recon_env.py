@@ -151,7 +151,7 @@ class ReconEnv:
         zbuf, fg, visible = splat.splat_depth(
             surf_pts, surf_mask, self.intrinsics, r_c2w, t_c2w,
             h, w, cfg.camera.depth_max, jnp.mean(render_vsize),
-            cfg.renderer.footprint,
+            cfg.renderer.footprint, cfg.renderer.zbuf_impl,
         )
 
         idx, in_bounds = voxel.points_to_voxel_idx(surf_pts, visible, range_gt, vsize)
@@ -224,6 +224,13 @@ class ReconEnv:
             self.scenes.grid_res,
         )
 
+    def _collision_batch(self, scene_id, poses):
+        return render.check_collision_batch(
+            self.scenes.render_occ, self.scenes.box_lo, self.scenes.box_hi,
+            scene_id, poses[:, :3], self.cfg.collision_radius,
+            self.scenes.grid_res,
+        )
+
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def step(self, state: EnvState, actions: jnp.ndarray):
@@ -250,7 +257,7 @@ class ReconEnv:
                 state.scene_id, poses, depth, fg, r_c2w, t_c2w,
                 state.prob_grid, state.scanned_gt,
             )
-        collision = jax.vmap(self._collision_one)(state.scene_id, poses)
+        collision = self._collision_batch(state.scene_id, poses)
 
         # observation buffers
         pose_buf = jnp.concatenate([state.pose_buf[:, 1:], poses[:, None, :]], axis=1)

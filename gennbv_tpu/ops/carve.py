@@ -151,12 +151,16 @@ def carve_ztest(
     in_img = (z > 1e-6) & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
     ui = jnp.clip(ui, 0, w - 1)
     vi = jnp.clip(vi, 0, h - 1)
-    d_px = depth[vi, ui]
+    # one-hot MXU gather instead of depth[vi, ui]: the XLA gather is
+    # latency-bound, ~4.6x slower at 256 envs (tools/bench_scatter.py)
+    from gennbv_tpu.ops import mxu
+    d_px = mxu.gather_image(depth, vi, ui)
     if fg is None:
         assert depth_max is not None
         fg_px = d_px < depth_max * (1.0 - 1e-4)
     else:
-        fg_px = fg[vi, ui]
+        fg_px = mxu.gather_image(fg.astype(jnp.float32), vi, ui,
+                                 exact=False) > 0.5
     free = in_img & fg_px & (z < d_px - margin)
     return free.astype(jnp.float32)
 

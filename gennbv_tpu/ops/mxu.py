@@ -1,0 +1,140 @@
+"""MXU reformulations of the env-step's gather/scatter hot ops.
+
+XLA lowers random gathers/scatters on TPU to latency-bound loops
+(~10-20 ns/element); at 256 envs x ~10k elements these dominated the env
+step (tools/bench_scatter.py: image gather 30.7 ms, G^3 scatter-max
+20.5 ms).  Both are expressible as *separable one-hot matmuls* that ride
+the MXU instead:
+
+- gather img[vi, ui] per point:   (onehot_v @ img) . onehot_u
+  one [P, H] x [H, W] matmul + a masked row-sum (4-6x faster, exact via a
+  hi/lo bf16 split of the f32 image).
+- scatter-max of {0,1} into G^3:  onehot_x @ (onehot_{yz} * valid) > 0
+  one [G, P] x [P, G^2] matmul (8x faster, exact: counts accumulate in f32).
+
+The one-hots are built on the fly as comparison broadcasts (bf16), so the
+transient footprint per env is a few MB; callers vmap and XLA batches the
+GEMMs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= x to ~1e-5 relative."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
+                 exact: bool = True) -> jnp.ndarray:
+    """img[vi, ui] for one image — [H, W] f32, vi/ui [P] int32 (in range).
+
+    MXU path: tmp = onehot_v @ img  ([P, W]), result = sum(tmp * onehot_u).
+    `exact=True` splits the image into two bf16 planes (absolute error
+    ~1e-3 of the value scale instead of bf16's ~0.4%).
+    """
+    h, w = img.shape
+    p = vi.shape[0]
+    ohv = (vi[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16)
+    if exact:
+        hi, lo = _split_bf16(img)
+        tmp = (jnp.dot(ohv, hi, preferred_element_type=jnp.float32)
+               + jnp.dot(ohv, lo, preferred_element_type=jnp.float32))
+    else:
+        tmp = jnp.dot(ohv, img.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    ohu = ui[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]
+    return jnp.where(ohu, tmp, 0.0).sum(-1)
+
+
+def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
+                      valid: jnp.ndarray, height: int, width: int,
+                      z_default: float, levels: int = 10,
+                      spacing_bits: int = 12) -> jnp.ndarray:
+    """Per-pixel min of z over points — WITHOUT a scatter.
+
+    XLA's scatter-min lowering costs ~30 ms at 256 envs x 11k points
+    (tools/bench_scatter.py); this computes the same z-buffer (quantized to
+    ``levels**2`` depth bins of the per-call z range) with three MXU
+    matmuls via an exponent encoding of min:
+
+        M[v,u] = sum_q onehot_v onehot_u 2^(-s * bucket_q)
+        min bucket = ceil(-log2(M) / s)        (exact while per-(pixel,
+                                                bucket) counts < 2^s)
+
+    applied twice (coarse bucket, then sub-bucket among points in the
+    pixel's min coarse bucket, selected via a gather-matmul) — a radix-
+    `levels` min in two digits.  Overflow beyond 2^spacing_bits points per
+    (pixel, bucket) degrades gracefully to one bucket too low (more
+    conservative visibility).
+
+    Returns (zbuf [height*width] f32 with `z_default` where no valid point,
+    quantization step scalar).
+    """
+    s = spacing_bits
+    d_levels = levels
+    zmin = jnp.min(jnp.where(valid, z, jnp.inf))
+    zmax = jnp.max(jnp.where(valid, z, -jnp.inf))
+    zrange = jnp.maximum(zmax - zmin, 1e-3)
+    t = jnp.clip((z - zmin) / zrange * d_levels, 0.0, d_levels - 1e-3)
+    d1 = jnp.floor(t)
+    d2 = jnp.floor((t - d1) * d_levels)
+
+    ohv = (vi[:, None] == jnp.arange(height, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16)                                            # [Q, V]
+    ohu = (ui[:, None] == jnp.arange(width, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16)                                            # [Q, U]
+    vf = valid.astype(jnp.float32)
+
+    def encoded_min(d_digit, mask):
+        w = jnp.exp2(-s * d_digit) * mask                        # [Q] f32
+        whi, wlo = _split_bf16(w)
+        m = (jnp.dot(ohv.T * whi[None, :], ohu,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(ohv.T * wlo[None, :], ohu,
+                       preferred_element_type=jnp.float32))      # [V, U]
+        have = m > 0.0
+        digit = jnp.ceil(-jnp.log2(jnp.maximum(m, 1e-38)) / s)
+        digit = jnp.clip(digit, 0, d_levels - 1)
+        return jnp.where(have, digit, jnp.float32(d_levels)), have
+
+    m1, have1 = encoded_min(d1, vf)
+
+    # per-point gather of the pixel's min coarse bucket (hi/lo not needed:
+    # bucket ids are small integers, exact in bf16)
+    tmp = jnp.dot(ohv, m1.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)            # [Q, U]
+    m1_at_q = jnp.where(ohu > 0, tmp, 0.0).sum(-1)               # [Q]
+    in_min_bucket = vf * (jnp.abs(d1 - m1_at_q) < 0.5)
+
+    m2, have2 = encoded_min(d2, in_min_bucket)
+    # overflow fallback: no in-bucket point found -> use the bucket midpoint
+    sub = jnp.where(have2, m2 + 0.5, 0.5 * d_levels)
+
+    frac = (m1 + sub / d_levels) / d_levels
+    zq = zmin + frac * zrange
+    zbuf = jnp.where(have1, zq, jnp.float32(z_default)).reshape(-1)
+    # quantization step, for callers widening comparison slacks
+    return zbuf, zrange / (d_levels * d_levels)
+
+
+def scatter_cells_any(cell_idx: jnp.ndarray, valid: jnp.ndarray,
+                      grid_size: int) -> jnp.ndarray:
+    """{0,1}^[G,G,G]: cells containing at least one valid point.
+
+    cell_idx [P, 3] int32 in [0, G); valid [P] bool.  Replaces
+    ``zeros.at[flat].max(valid)`` with one [G, P] x [P, G^2] matmul.
+    """
+    g = grid_size
+    yz = cell_idx[:, 1] * g + cell_idx[:, 2]
+    ohx = (cell_idx[:, 0][None, :] == jnp.arange(g, dtype=jnp.int32)[:, None])
+    ohx = (ohx & valid[None, :]).astype(jnp.bfloat16)
+    ohyz = (yz[:, None] == jnp.arange(g * g, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16)
+    counts = jnp.dot(ohx, ohyz, preferred_element_type=jnp.float32)
+    return (counts > 0.5).astype(jnp.float32).reshape(g, g, g)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("height", "width", "footprint"))
+@partial(jax.jit, static_argnames=("height", "width", "footprint", "zbuf_impl"))
 def splat_depth(
     surf_pts: jnp.ndarray,    # [Q, 3] surface voxel centers (world)
     surf_mask: jnp.ndarray,   # [Q] bool (padding)
@@ -40,8 +40,11 @@ def splat_depth(
     depth_max: float,
     voxel_eps: jnp.ndarray,   # scalar: visibility slack (~ render voxel size)
     footprint: int = 1,       # splat radius in pixels (1 -> 3x3)
+    zbuf_impl: str = "mxu",   # "mxu" (radix-min matmuls) | "scatter" (exact)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (zbuf [H*W], fg [H*W] bool, visible [Q] bool)."""
+    from gennbv_tpu.ops import mxu
+
     # project: p_cam = R^T (p - t); z-depth = p_cam.z
     p_cam = (surf_pts - t_c2w[None, :]) @ r_c2w  # == einsum('ij,pj->pi', R^T, .)
     z = p_cam[:, 2]
@@ -52,12 +55,22 @@ def splat_depth(
     ui = jnp.floor(u).astype(jnp.int32)
     vi = jnp.floor(v).astype(jnp.int32)
 
-    # single conflict-heavy scatter-min at footprint 0 ...
     big = jnp.asarray(depth_max, jnp.float32)
     ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
-    flat = jnp.clip(vi, 0, height - 1) * width + jnp.clip(ui, 0, width - 1)
-    zbuf0 = jnp.full((height * width,), depth_max, jnp.float32)
-    zbuf0 = zbuf0.at[flat].min(jnp.where(ok, z, big))
+    vic = jnp.clip(vi, 0, height - 1)
+    uic = jnp.clip(ui, 0, width - 1)
+    if zbuf_impl == "mxu":
+        # radix-min via MXU matmuls (ops/mxu.py): ~6x faster than XLA's
+        # scatter-min lowering at training scale; zbuf quantized to 100
+        # levels of the per-frame z range; the quantization step widens the
+        # visibility slack below
+        zbuf0, quant = mxu.scatter_min_image(
+            vic, uic, z, ok, height, width, depth_max)
+        voxel_eps = voxel_eps + quant
+    else:
+        flat = vic * width + uic
+        zbuf0 = jnp.full((height * width,), depth_max, jnp.float32)
+        zbuf0 = zbuf0.at[flat].min(jnp.where(ok, z, big))
 
     # ... then the pixel footprint as a (2f+1)^2 min-pool: identical to
     # splatting every point into its footprint, but one vectorized
@@ -74,9 +87,14 @@ def splat_depth(
 
     fg = zbuf < depth_max - 1e-6
 
-    # visibility: the voxel's own pixel shows (approximately) its depth
+    # visibility: the voxel's own pixel shows (approximately) its depth.
+    # The per-point image gather is the splat's hot op on TPU (30 ms at
+    # 256 envs x 11k points as an XLA gather); use the one-hot MXU matmul
+    # (ops/mxu.py, ~5x faster, exact via hi/lo bf16 split).
+    from gennbv_tpu.ops import mxu
     center_ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
-    flat_c = jnp.clip(vi, 0, height - 1) * width + jnp.clip(ui, 0, width - 1)
-    z_at_px = zbuf[flat_c]
+    z_at_px = mxu.gather_image(
+        zbuf.reshape(height, width),
+        jnp.clip(vi, 0, height - 1), jnp.clip(ui, 0, width - 1))
     visible = center_ok & (z <= z_at_px + voxel_eps)
     return zbuf, fg, visible

@@ -72,13 +72,15 @@ def scatter_hits(
     idx: jnp.ndarray,     # [P, 3] int32 (pre-clamped)
     valid: jnp.ndarray,   # [P] bool
 ) -> jnp.ndarray:
-    """[G, G, G] float grid with 1.0 at valid hit voxels (scatter-max,
-    idempotent — replaces the reference's unique+index-assign,
-    env_train_gennbv.py:301-304)."""
-    flat = (idx[:, 0] * grid_shape + idx[:, 1]) * grid_shape + idx[:, 2]
-    grid = jnp.zeros((grid_shape ** 3,), dtype=jnp.float32)
-    grid = grid.at[flat].max(valid.astype(jnp.float32))
-    return grid.reshape(grid_shape, grid_shape, grid_shape)
+    """[G, G, G] float grid with 1.0 at valid hit voxels (idempotent —
+    replaces the reference's unique+index-assign,
+    env_train_gennbv.py:301-304).
+
+    Implemented as a one-hot MXU matmul (ops/mxu.py): XLA's scatter-max
+    lowering is latency-bound (~20 ms at 256 envs x 11k points); the matmul
+    form is exact and ~8x faster (tools/bench_scatter.py)."""
+    from gennbv_tpu.ops import mxu
+    return mxu.scatter_cells_any(idx, valid, grid_shape)
 
 
 @jax.jit

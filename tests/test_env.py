@@ -14,7 +14,7 @@ def small_cfg(num_envs=4, num_scenes=4, carve="ztest"):
     return EnvConfig(
         num_envs=num_envs,
         camera=CameraConfig(height=48, width=48),
-        renderer=RendererConfig(resolution=32, use_pallas=False),
+        renderer=RendererConfig(resolution=32, zbuf_impl="mxu"),
         scene=SceneConfig(num_scenes=num_scenes, seed=0),
         carve_mode=carve,
     )

@@ -23,7 +23,7 @@ def tiny_config(num_envs=4, n_steps=8, num_devices=1):
         env=EnvConfig(
             num_envs=num_envs,
             camera=CameraConfig(height=32, width=32),
-            renderer=RendererConfig(resolution=24, use_pallas=False),
+            renderer=RendererConfig(resolution=24, zbuf_impl="mxu"),
             scene=SceneConfig(num_scenes=num_envs, seed=0),
             max_episode_length=12,
         ),

@@ -91,3 +91,47 @@ class TestSplatEnvConsistency:
         cov_d = run(env_d)
         assert (cov_s > 0.4).all(), f"splat orbit coverage too low: {cov_s}"
         np.testing.assert_allclose(cov_s, cov_d, atol=0.2)
+
+
+def test_scatter_min_image_matches_exact():
+    """The MXU radix-min zbuf must match the exact scatter-min within its
+    declared quantization step, with identical empty-pixel masks."""
+    import numpy as np
+    from gennbv_tpu.ops import mxu
+
+    rng = np.random.RandomState(3)
+    h = w = 32
+    q = 3000
+    vi = jnp.asarray(rng.randint(0, h, q), jnp.int32)
+    ui = jnp.asarray(rng.randint(0, w, q), jnp.int32)
+    z = jnp.asarray(rng.uniform(1.0, 29.0, q), jnp.float32)
+    ok = jnp.asarray(rng.rand(q) < 0.6)
+    dmax = 50.0
+
+    zb, quant = jax.jit(
+        lambda *a: mxu.scatter_min_image(*a, h, w, dmax))(vi, ui, z, ok)
+    flat = vi * w + ui
+    exact = jnp.full((h * w,), dmax, jnp.float32).at[flat].min(
+        jnp.where(ok, z, dmax))
+
+    zb, exact = np.asarray(zb), np.asarray(exact)
+    hit = exact < dmax
+    assert ((zb < dmax) == hit).all(), "empty-pixel mask differs"
+    err = np.abs(zb[hit] - exact[hit])
+    assert err.max() <= float(quant) * 1.01, (err.max(), float(quant))
+
+
+def test_scatter_min_image_conflict_overflow_degrades_conservatively():
+    """>2^spacing_bits points in one (pixel, bucket) may only push the
+    result LOWER (conservative), never higher than the true min + quant."""
+    import numpy as np
+    from gennbv_tpu.ops import mxu
+
+    h = w = 8
+    q = 8192
+    vi = jnp.zeros(q, jnp.int32)
+    ui = jnp.zeros(q, jnp.int32)    # ALL points on one pixel
+    z = jnp.full(q, 10.0, jnp.float32)  # all same depth: one bucket overflow
+    ok = jnp.ones(q, bool)
+    zb, quant = mxu.scatter_min_image(vi, ui, z, ok, h, w, 50.0)
+    assert float(zb[0]) <= 10.0 + float(quant) * 1.01
