@@ -29,7 +29,10 @@ from gennbv_tpu.utils.logger import Logger
 
 class Runner:
     def __init__(self, cfg: Config, scenes=None, eval_scenes=None,
-                 log_dir: Optional[str] = None):
+                 log_dir: Optional[str] = None, depth_source=None,
+                 eval_depth_source=None):
+        """depth_source: pluggable depth feed (env/depth_sources.py) for
+        renderer.mode "replay"/"callback"."""
         self.cfg = cfg
         rng = jax.random.PRNGKey(cfg.runner.seed)
         self.rng, model_rng = jax.random.split(rng)
@@ -37,10 +40,11 @@ class Runner:
         self.scenes = scenes if scenes is not None else make_scenes(
             cfg.env.scene, cfg.env.renderer.resolution
         )
-        self.env = ReconEnv(cfg.env, self.scenes)
+        self.env = ReconEnv(cfg.env, self.scenes, depth_source)
         self.eval_env = None
         if eval_scenes is not None:
-            self.eval_env = ReconEnv(eval_env_config(cfg.env), eval_scenes)
+            self.eval_env = ReconEnv(eval_env_config(cfg.env), eval_scenes,
+                                     eval_depth_source)
 
         self.model, variables = init_policy(cfg.model, model_rng, self.env.obs_dim)
         self.tx = ppo.make_optimizer(cfg.ppo)

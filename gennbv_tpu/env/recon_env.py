@@ -75,9 +75,17 @@ class ReconEnv:
     static config + scene tensors only.
     """
 
-    def __init__(self, cfg: EnvConfig, scenes: scene_lib.SceneSet):
+    def __init__(self, cfg: EnvConfig, scenes: scene_lib.SceneSet,
+                 depth_source=None):
+        """depth_source: required for renderer.mode "replay"/"callback"
+        (env/depth_sources.py) — the pluggable Isaac Gym camera replacement;
+        ignored for the built-in "splat"/"dda" renderers."""
         self.cfg = cfg
         self.scenes = scenes
+        self.depth_source = depth_source
+        if cfg.renderer.mode in ("replay", "callback"):
+            assert depth_source is not None, \
+                f"renderer.mode={cfg.renderer.mode!r} needs a depth_source"
         cam = cfg.camera
         self.cam_rays = jnp.asarray(
             camera.camera_rays(cam.height, cam.width, cam.horizontal_fov_deg)
@@ -252,7 +260,14 @@ class ReconEnv:
                 state.scene_id, poses, state.prob_grid, state.scanned_gt
             )
         else:
-            depth, fg, r_c2w, t_c2w = jax.vmap(self._render_one)(state.scene_id, poses)
+            if cfg.renderer.mode == "dda":
+                depth, fg, r_c2w, t_c2w = jax.vmap(self._render_one)(
+                    state.scene_id, poses)
+            else:  # "replay" | "callback": pluggable external depth feed
+                depth, fg = self.depth_source.render_batch(state.scene_id, poses)
+                r_c2w, t_c2w = jax.vmap(
+                    lambda p: camera.pose_to_c2w(p, cfg.camera.z_offset)
+                )(poses)
             prob_grid, tri, scanned_gt, ratio = jax.vmap(self._mapping_one)(
                 state.scene_id, poses, depth, fg, r_c2w, t_c2w,
                 state.prob_grid, state.scanned_gt,
