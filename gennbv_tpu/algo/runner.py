@@ -23,6 +23,7 @@ from gennbv_tpu.config import Config, config_to_dict, eval_env_config
 from gennbv_tpu.env import ReconEnv, make_scenes
 from gennbv_tpu.models import init_policy
 from gennbv_tpu.parallel import mesh as mesh_lib
+from gennbv_tpu.utils import profiling
 from gennbv_tpu.utils.checkpoint import CheckpointManager
 from gennbv_tpu.utils.logger import Logger
 
@@ -55,7 +56,11 @@ class Runner:
         )
 
         # device mesh: env axis sharded, params replicated (GSPMD)
-        self.mesh = mesh_lib.make_mesh(cfg.runner.num_devices)
+        if cfg.runner.num_slices > 1:
+            self.mesh = mesh_lib.make_multislice_mesh(
+                cfg.runner.num_slices, cfg.runner.num_devices)
+        else:
+            self.mesh = mesh_lib.make_mesh(cfg.runner.num_devices)
         self.multi_device = len(self.mesh.devices.flatten()) > 1
 
         self.log_dir = log_dir or os.path.join(
@@ -157,10 +162,14 @@ class Runner:
 
         for it in range(num_iterations):
             t0 = time.time()
-            ts, env_state, obs, self.rng, metrics = self._train_iter(
-                ts, env_state, obs, self.rng
-            )
-            metrics = {k: float(v) for k, v in metrics.items()}
+            # profile the 2nd iteration (post-compile) when requested
+            with profiling.trace(
+                cfg.runner.profile_dir if it == 1 else None
+            ):
+                ts, env_state, obs, self.rng, metrics = self._train_iter(
+                    ts, env_state, obs, self.rng
+                )
+                metrics = {k: float(v) for k, v in metrics.items()}
             dt_iter = time.time() - t0
             self.global_step += steps_per_iter
             self.iteration += 1

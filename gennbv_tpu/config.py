@@ -144,6 +144,11 @@ class RunnerConfig:
     wandb: bool = False
     # sharding: number of devices along the env axis; 0 = use all local devices
     num_devices: int = 0
+    # multi-slice: >1 builds a 2-D ('slice','env') mesh so the gradient
+    # all-reduce goes hierarchically over ICI then DCN (parallel/mesh.py)
+    num_slices: int = 1
+    # write a jax.profiler trace of iteration 2 to this dir ("" = off)
+    profile_dir: str = ""
     obs_dtype: str = "float32"      # rollout obs storage dtype ("bfloat16" halves HBM)
 
 

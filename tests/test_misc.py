@@ -72,3 +72,48 @@ class TestNormalizer:
         np.testing.assert_array_equal(
             np.array(out[:, spec.STATE_DIM:]), np.array(obs[:, spec.STATE_DIM:])
         )
+
+
+def test_multislice_mesh_training():
+    """2-D ('slice','env') mesh: training step compiles and runs with the
+    env axis sharded over both mesh axes (hierarchical all-reduce layout)."""
+    import jax
+    from gennbv_tpu.algo.runner import Runner
+    from gennbv_tpu.config import (CameraConfig, Config, EnvConfig, PPOConfig,
+                                   RendererConfig, RunnerConfig, SceneConfig)
+
+    cfg = Config(
+        env=EnvConfig(num_envs=8, camera=CameraConfig(height=16, width=16),
+                      renderer=RendererConfig(resolution=16),
+                      scene=SceneConfig(num_scenes=4, seed=0),
+                      max_episode_length=4),
+        ppo=PPOConfig(n_steps=4, batch_size=16, n_epochs=2, total_iters=1),
+        runner=RunnerConfig(seed=0, save_freq=0, num_devices=8, num_slices=2),
+    )
+    runner = Runner(cfg)
+    assert runner.mesh.devices.shape == (2, 4)
+    m = runner.train(1, log=False)
+    import numpy as np
+    assert all(np.isfinite(v) for v in m.values()), m
+
+
+def test_phase_timer_and_trace(tmp_path):
+    import jax.numpy as jnp
+    from gennbv_tpu.utils.profiling import PhaseTimer, trace
+
+    t = PhaseTimer()
+    with t.phase("rollout", fence=jnp.ones(4) * 2):
+        x = jnp.arange(1000.0).sum()
+    with t.phase("training"):
+        pass
+    m = t.metrics(env_steps=100)
+    assert "time/rollout" in m and "time/training" in m
+    assert m["time/fps"] > 0
+    # trace is a no-op with falsy dir, real with a dir
+    with trace(None):
+        pass
+    d = str(tmp_path / "tb")
+    with trace(d):
+        jnp.ones(8).sum().block_until_ready()
+    import os
+    assert any("plugins" in r or f for r, _, f in os.walk(d)), "trace not written"
