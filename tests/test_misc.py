@@ -117,3 +117,44 @@ def test_phase_timer_and_trace(tmp_path):
         jnp.ones(8).sum().block_until_ready()
     import os
     assert any("plugins" in r or f for r, _, f in os.walk(d)), "trace not written"
+
+
+def test_quat_helpers():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gennbv_tpu.utils import math as m
+
+    # rotating the x axis by yaw=90deg -> y axis
+    q = m.quat_from_euler_zyx(jnp.zeros(()), jnp.zeros(()),
+                              jnp.asarray(np.pi / 2))
+    v = m.quat_apply(q, jnp.asarray([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(v), [0, 1, 0], atol=1e-6)
+    # quat_apply_yaw strips roll/pitch: full rotation with pitch must equal
+    # rotation by yaw only when applied via quat_apply_yaw
+    q2 = m.quat_from_euler_zyx(jnp.zeros(()), jnp.asarray(0.7),
+                               jnp.asarray(np.pi / 2))
+    vy = m.quat_apply_yaw(q2, jnp.asarray([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(vy), [0, 1, 0], atol=1e-6)
+    # conjugate inverts: q * conj(q) == identity rotation
+    rt = m.quat_apply(m.quat_conjugate(q), v)
+    np.testing.assert_allclose(np.asarray(rt), [1, 0, 0], atol=1e-6)
+    # wrap_to_pi (avoid the exact +/-pi boundary: f32 mod rounding flips it)
+    np.testing.assert_allclose(
+        np.asarray(m.wrap_to_pi(jnp.asarray([2.5 * np.pi, -2.5 * np.pi]))),
+        [0.5 * np.pi, -0.5 * np.pi], atol=1e-5)
+    # rand_sqrt_float stays in bounds
+    r = m.rand_sqrt_float(jax.random.PRNGKey(0), -2.0, 3.0, (512,))
+    assert float(r.min()) >= -2.0 and float(r.max()) <= 3.0
+
+
+def test_episode_plotter(tmp_path):
+    from gennbv_tpu.utils.episode_plotter import EpisodePlotter
+    import os
+
+    p = EpisodePlotter(dt=0.02)
+    for t in range(10):
+        p.log_states({"pos_x": t * 0.1, "vel_x": 1.0})
+        p.log_reward("coverage", 0.5)
+    out = p.plot(str(tmp_path / "ep.png"))
+    assert os.path.getsize(out) > 5000
