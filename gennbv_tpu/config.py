@@ -48,7 +48,10 @@ class SceneConfig:
     # world box of the mapped region; x,y in [-extent/2, extent/2], z in [0, extent_z]
     extent_xy: float = 10.0
     extent_z: float = 6.0
-    dataset: str = "procedural"   # "procedural" | path to a converted dataset dir
+    dataset: str = "procedural"   # "procedural" | "terrain" | dataset dir path
+    # procedural generator difficulty: "standard" | "hard" (adds courtyards,
+    # tunnels, overhangs — concave structure invisible from orbit views)
+    difficulty: str = "standard"
     seed: int = 0
 
 

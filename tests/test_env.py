@@ -189,3 +189,34 @@ class TestScriptedCoverage:
             best = np.maximum(best, np.array(out.coverage))
         assert (best > 0.55).all(), f"orbit coverage too low: {best}"
         assert best.mean() > cov0.mean() + 0.2
+
+
+def test_hard_scenes_lower_random_floor():
+    """Hard procedural scenes (courtyards/tunnels/overhangs) must be harder
+    to cover: a random policy reaches strictly less coverage than on
+    standard scenes (the benchmark-difficulty knob; measured floors at the
+    eval protocol scale: 0.69 standard vs 0.62 hard)."""
+    import numpy as np
+    from gennbv_tpu.config import SceneConfig
+
+    def floor(difficulty, n=8, steps=12):
+        cfg = EnvConfig(
+            num_envs=n,
+            camera=CameraConfig(height=32, width=32),
+            renderer=RendererConfig(resolution=24),
+            scene=SceneConfig(num_scenes=n, seed=0, difficulty=difficulty),
+            max_episode_length=steps + 1,
+            coverage_done_threshold=None,
+        )
+        env = ReconEnv(cfg, make_scenes(cfg.scene, cfg.renderer.resolution))
+        state, out = env.reset(n)
+        rng = jax.random.PRNGKey(0)
+        step = jax.jit(env.step)
+        for _ in range(steps):
+            rng, r = jax.random.split(rng)
+            a = (jax.random.uniform(r, (n, 6)) * env.nvec).astype(jnp.int32)
+            state, out = step(state, a)
+        return float(out.coverage.mean())
+
+    std, hard = floor("standard"), floor("hard")
+    assert hard < std, (std, hard)
