@@ -31,10 +31,23 @@ class PPOTrainState(NamedTuple):
     opt_state: Any
 
 
-def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: PPOConfig,
+                   num_envs: int = 256) -> optax.GradientTransformation:
+    """Adam behind grad-norm clipping, with SB3-style lr schedules
+    (stable_baselines3/common/utils.py get_schedule_fn): "constant" or
+    "linear" anneal to 0 over the run's total gradient steps."""
+    if cfg.lr_schedule == "linear":
+        total_updates = cfg.n_epochs * max(cfg.total_iters, 1) * max(
+            (cfg.n_steps * num_envs) // max(cfg.batch_size, 1), 1)
+        lr = optax.linear_schedule(cfg.learning_rate, 0.0, total_updates)
+    elif cfg.lr_schedule == "constant":
+        lr = cfg.learning_rate
+    else:
+        raise ValueError(
+            f"unknown lr_schedule {cfg.lr_schedule!r}; one of constant|linear")
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(cfg.learning_rate, eps=cfg.adam_eps),
+        optax.adam(lr, eps=cfg.adam_eps),
     )
 
 

@@ -48,7 +48,7 @@ class Runner:
                                      eval_depth_source)
 
         self.model, variables = init_policy(cfg.model, model_rng, self.env.obs_dim)
-        self.tx = ppo.make_optimizer(cfg.ppo)
+        self.tx = ppo.make_optimizer(cfg.ppo, cfg.env.num_envs)
         self.train_state = ppo.PPOTrainState(
             params=variables["params"],
             batch_stats=variables["batch_stats"],

@@ -131,6 +131,8 @@ class PPOConfig:
     normalize_advantage: bool = True
     # reference multiplies the pg term by 10 (ppo_grid_obs.py:253); parity default on
     policy_loss_mult: float = spec.PPO_POLICY_LOSS_MULT
+    # "constant" (reference default) | "linear" anneal to 0 (SB3 schedules)
+    lr_schedule: str = "constant"
     total_iters: int = spec.PPO_TOTAL_ITERS
 
 

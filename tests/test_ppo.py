@@ -145,3 +145,32 @@ class TestPPOUpdate:
         assert float(metrics.n_minibatches_done) == 3 * (256 // 64)
         assert np.isfinite(float(metrics.policy_loss))
         assert np.isfinite(float(metrics.explained_variance))
+
+
+def test_linear_lr_schedule():
+    """Linear schedule anneals the effective step size toward 0; a bogus
+    schedule name is rejected."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import pytest
+    from gennbv_tpu.algo import ppo
+    from gennbv_tpu.config import PPOConfig
+
+    cfg = PPOConfig(learning_rate=1e-3, lr_schedule="linear", n_epochs=1,
+                    n_steps=4, batch_size=8, total_iters=10)
+    tx = ppo.make_optimizer(cfg, num_envs=8)
+    params = {"w": jnp.ones(4)}
+    st = tx.init(params)
+    g = {"w": jnp.ones(4)}
+    u1, st = tx.update(g, st, params)
+    sizes = [float(jnp.abs(u1["w"]).mean())]
+    for _ in range(30):
+        u, st = tx.update(g, st, params)
+        sizes.append(float(jnp.abs(u["w"]).mean()))
+    # Adam normalizes the magnitude, so the anneal shows up as decay to ~0
+    assert sizes[-1] < sizes[0] * 0.3, sizes[::10]
+
+    with pytest.raises(ValueError, match="lr_schedule"):
+        ppo.make_optimizer(PPOConfig(lr_schedule="cosine"), 8)
