@@ -132,3 +132,50 @@ class PointGoalEnv:
             rng=keys[:, 1],
         )
         return state, SynthOutput(pos, reward, done, done)
+
+
+class GoalPointEnv:
+    """Sparse-reward goal task: point moves by action; reward 0 iff within
+    goal_eps of the desired goal, else -1.  obs = [pos | pos | goal]
+    (core == achieved here).  Plain off-policy RL gets almost no signal;
+    HER relabeling makes it learnable."""
+
+    def __init__(self, dim: int = 2, ep_length: int = 8, goal_eps: float = 0.1):
+        self.dim = dim
+        self.ep_length = ep_length
+        self.goal_eps = goal_eps
+        self.num_actions = dim
+        self.goal_dim = dim
+        self.obs_dim = 3 * dim
+
+    def compute_reward(self, achieved, desired):
+        d = jnp.linalg.norm(achieved - desired, axis=-1)
+        return jnp.where(d < self.goal_eps, 0.0, -1.0)
+
+    def _obs(self, pos, goal):
+        return jnp.concatenate([pos, pos, goal], axis=-1)
+
+    def reset(self, num_envs, rng):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        pos = jax.random.uniform(r1, (num_envs, self.dim), minval=-1, maxval=1)
+        goal = jax.random.uniform(r2, (num_envs, self.dim), minval=-1, maxval=1)
+        state = (pos, goal, jnp.zeros(num_envs, jnp.int32), jax.random.split(r3, num_envs))
+        z = jnp.zeros(num_envs)
+        return state, SynthOutput(self._obs(pos, goal), z,
+                                  jnp.zeros(num_envs, bool), jnp.zeros(num_envs, bool))
+
+    def step(self, state, actions):
+        pos, goal, ep_len, keys = state
+        pos = pos + 0.25 * jnp.clip(actions, -1, 1)
+        reward = self.compute_reward(pos, goal)
+        ep_len = ep_len + 1
+        done = ep_len >= self.ep_length
+        ks = jax.vmap(jax.random.split)(keys)
+        new_pos = jax.vmap(lambda k: jax.random.uniform(
+            k, (self.dim,), minval=-1, maxval=1))(ks[:, 0])
+        new_goal = jax.vmap(lambda k: jax.random.uniform(
+            jax.random.fold_in(k, 1), (self.dim,), minval=-1, maxval=1))(ks[:, 0])
+        pos = jnp.where(done[:, None], new_pos, pos)
+        goal = jnp.where(done[:, None], new_goal, goal)
+        state = (pos, goal, jnp.where(done, 0, ep_len), ks[:, 1])
+        return state, SynthOutput(self._obs(pos, goal), reward, done, done)

@@ -110,3 +110,26 @@ class TestMultiCategorical:
             )
         )
         assert (draws[:, 0] == 0).mean() > 0.9
+
+
+def test_nature_cnn_and_cnn_policy():
+    import jax
+    import jax.numpy as jnp
+    from gennbv_tpu.models.torso import CnnPolicy, MlpTorso, NatureCNN
+
+    imgs = jnp.zeros((2, 84, 84, 4))
+    cnn = NatureCNN(features_dim=128)
+    p = cnn.init(jax.random.PRNGKey(0), imgs)["params"]
+    out = cnn.apply({"params": p}, imgs)
+    assert out.shape == (2, 128)
+
+    pol = CnnPolicy(num_logits=6, features_dim=64, net_arch=(32,))
+    v = pol.init(jax.random.PRNGKey(1), imgs)
+    o = pol.apply(v, imgs)
+    assert o.logits.shape == (2, 6) and o.value.shape == (2,)
+
+    # net_arch=[] identity passthrough (MlpExtractor semantics)
+    t = MlpTorso(())
+    x = jnp.ones((3, 7))
+    pt = t.init(jax.random.PRNGKey(2), x)
+    assert (t.apply(pt, x) == x).all()
