@@ -224,6 +224,22 @@ class Runner:
         return last_metrics
 
     # ------------------------------------------------------------------
+    def restore(self, models_dir: str) -> int:
+        """Resume {params, batch_stats, opt_state} from the latest
+        rl_model_<steps>_steps checkpoint in `models_dir` (the reference's
+        --resume + get_load_path, helpers.py:108-131).  Returns the
+        restored global step.  Env/mapping state is NOT checkpointed —
+        episodes restart, matching the reference (SURVEY §5.4)."""
+        mgr = CheckpointManager(models_dir)
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                f"no rl_model_*_steps checkpoints in {models_dir}")
+        self.train_state = mgr.restore(f"rl_model_{step}_steps", self.train_state)
+        self.global_step = step
+        self.iteration = step // (self.cfg.ppo.n_steps * self.cfg.env.num_envs)
+        return step
+
     def variables(self):
         return {"params": self.train_state.params,
                 "batch_stats": self.train_state.batch_stats}

@@ -27,6 +27,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="iterations between in-training evals (train_eval entry)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                    help="dotted-path config override, e.g. env.camera.height=400")
+    p.add_argument("--resume", type=str, default=None, metavar="MODELS_DIR",
+                   help="resume from the latest rl_model_*_steps checkpoint "
+                        "in this directory (reference: --resume/get_load_path, "
+                        "legged_gym/utils/helpers.py:108-131)")
     return p
 
 
@@ -63,6 +67,9 @@ def main(argv=None):
     from gennbv_tpu.algo.runner import Runner
 
     runner = Runner(cfg)
+    if args.resume:
+        step = runner.restore(args.resume)
+        print(f"resumed from {args.resume} at step {step}")
     try:
         metrics = runner.train(cfg.ppo.total_iters)
         print("final:", {k: round(v, 4) for k, v in metrics.items()})

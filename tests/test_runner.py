@@ -88,3 +88,40 @@ class TestEvaluation:
         # large — just require a sane positive value
         assert np.isfinite(res.mean_accuracy_cm)
         assert res.mean_accuracy_cm > 0.0
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """Train 2 iters with saves -> resume in a FRESH runner -> params equal,
+    step restored, training continues (the --resume CLI path)."""
+    import numpy as np
+    from gennbv_tpu.algo.runner import Runner
+    from gennbv_tpu.config import (CameraConfig, Config, EnvConfig, PPOConfig,
+                                   RendererConfig, RunnerConfig, SceneConfig)
+
+    def mk():
+        return Config(
+            env=EnvConfig(num_envs=4, camera=CameraConfig(height=16, width=16),
+                          renderer=RendererConfig(resolution=16),
+                          scene=SceneConfig(num_scenes=2, seed=0),
+                          max_episode_length=4),
+            ppo=PPOConfig(n_steps=4, batch_size=8, n_epochs=1, total_iters=2),
+            runner=RunnerConfig(seed=0, save_freq=1, num_devices=1),
+        )
+
+    r1 = Runner(mk(), log_dir=str(tmp_path / "run"))
+    r1.train(2)
+    r1.close()
+
+    r2 = Runner(mk(), log_dir=str(tmp_path / "run2"))
+    step = r2.restore(str(tmp_path / "run" / "models"))
+    assert step == 2 * 4 * 4
+    a = jax.tree.leaves(r1.train_state.params)[0]
+    b = jax.tree.leaves(r2.train_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    m = r2.train(1, log=False)
+    assert all(np.isfinite(v) for v in m.values())
+
+    # missing dir -> clear error
+    import pytest
+    with pytest.raises(FileNotFoundError, match="rl_model"):
+        r2.restore(str(tmp_path / "nope"))
