@@ -429,12 +429,58 @@ def load_npz(path: str) -> SceneSet:
     )
 
 
+def _cache_path(cfg: SceneConfig, grid_res: int) -> str:
+    import hashlib
+    import os
+    key = hashlib.sha1(
+        repr((dataclasses.astuple(cfg), grid_res, 2)).encode()).hexdigest()[:16]
+    root = os.environ.get("GENNBV_SCENE_CACHE",
+                          os.path.join(os.path.expanduser("~"), ".cache",
+                                       "gennbv_tpu"))
+    return os.path.join(root, f"scenes_{key}.npz")
+
+
+def _save_scene_cache(path: str, s: SceneSet) -> None:
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.npz"   # savez appends .npz unless present
+    np.savez_compressed(
+        tmp,
+        **{f: np.asarray(getattr(s, f)) for f in s._fields
+           if f not in ("grid_res", "grid_size")},
+        grid_res=s.grid_res, grid_size=s.grid_size)
+    os.replace(tmp, path)
+
+
+def _load_scene_cache(path: str) -> SceneSet:
+    d = np.load(path)
+    kw = {f: jnp.asarray(d[f]) for f in SceneSet._fields
+          if f not in ("grid_res", "grid_size")}
+    return SceneSet(grid_res=int(d["grid_res"]), grid_size=int(d["grid_size"]),
+                    **kw)
+
+
 def make_scenes(cfg: SceneConfig, grid_res: int) -> SceneSet:
-    if cfg.dataset == "procedural":
-        return generate_procedural(cfg, grid_res)
-    if cfg.dataset == "terrain":
-        from gennbv_tpu.env.terrain import generate_terrain
-        return generate_terrain(cfg, grid_res)
+    if cfg.dataset in ("procedural", "terrain"):
+        # host-side generation is ~45 s of numpy at training scale; cache by
+        # config hash (generation is deterministic in cfg.seed)
+        import os
+        path = _cache_path(cfg, grid_res)
+        if os.path.exists(path):
+            try:
+                return _load_scene_cache(path)
+            except Exception:
+                pass  # stale/corrupt cache: regenerate
+        if cfg.dataset == "terrain":
+            from gennbv_tpu.env.terrain import generate_terrain
+            scenes = generate_terrain(cfg, grid_res)
+        else:
+            scenes = generate_procedural(cfg, grid_res)
+        try:
+            _save_scene_cache(path, scenes)
+        except OSError:
+            pass  # read-only fs: generation still works
+        return scenes
     import os
     npz = os.path.join(cfg.dataset, "scenes.npz")
     if os.path.exists(npz):

@@ -97,3 +97,29 @@ def depth_to_grayscale(depth: jnp.ndarray, depth_max: float, rgb_h: int, rgb_w: 
     batch = gray.shape[:-2]
     out = jax.image.resize(gray, batch + (rgb_h, rgb_w), method="linear")
     return out
+
+
+@jax.jit
+def polar_to_cartesian(rtp: jnp.ndarray) -> jnp.ndarray:
+    """(r, theta, phi) -> (x, y, z): the reference's
+    position_use_polar_coordinates decode (env_train_base.py:688-693).
+    theta is azimuth in the xy plane, phi is elevation."""
+    r, theta, phi = rtp[..., 0], rtp[..., 1], rtp[..., 2]
+    cp = jnp.cos(phi)
+    return jnp.stack(
+        [r * cp * jnp.cos(theta), r * cp * jnp.sin(theta), r * jnp.sin(phi)],
+        axis=-1)
+
+
+@jax.jit
+def direction_to_rpy(d: jnp.ndarray) -> jnp.ndarray:
+    """Direction vector (dx, dy, dz) -> (roll=0, pitch, yaw): the
+    reference's direction_use_vector decode (env_train_base.py:696-706).
+    pitch = -asin(dz/|d|); yaw in [0, 2pi) with the reference's
+    dy-sign branch."""
+    length = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    phi = -jnp.arcsin(d[..., 2:3] / length)
+    proj = jnp.cos(phi) * length
+    base = jnp.arccos(jnp.clip(d[..., 0:1] / proj, -1.0, 1.0))
+    theta = jnp.where(d[..., 1:2] > 0, base, 2.0 * jnp.pi - base)
+    return jnp.concatenate([jnp.zeros_like(phi), phi, theta], axis=-1)

@@ -330,3 +330,35 @@ class TestChamfer:
         pts = np.array([[0.001, 0, 0], [0.004, 0, 0], [1, 0, 0]])
         out = chamfer.dedupe_round_cm(pts)
         assert out.shape[0] == 2
+
+
+def test_polar_and_direction_pose_decodes():
+    """Latent reference pose modes (env_train_base.py:686-706): polar
+    position and direction-vector heading."""
+    from gennbv_tpu.ops import camera as cam
+
+    # polar: r=2 along +x; r=1 straight up
+    out = cam.polar_to_cartesian(jnp.asarray([[2.0, 0.0, 0.0],
+                                              [1.0, 0.3, jnp.pi / 2]]))
+    np.testing.assert_allclose(np.asarray(out[0]), [2, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), [0, 0, 1], atol=1e-6)
+
+    # direction vector: +x forward -> pitch 0, yaw == 0 mod 2pi (the
+    # reference's dy<=0 branch yields 2pi here, env_train_base.py:700-703)
+    rpy = cam.direction_to_rpy(jnp.asarray([[1.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(float(rpy[0, 1]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.sin(float(rpy[0, 2])), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.cos(float(rpy[0, 2])), 1.0, atol=1e-6)
+    # looking 45deg down along +y: d = (0, c, -c)
+    c = float(np.cos(np.pi / 4))
+    rpy = cam.direction_to_rpy(jnp.asarray([[0.0, c, -c]]))
+    np.testing.assert_allclose(np.asarray(rpy[0]),
+                               [0, np.pi / 4, np.pi / 2], atol=1e-5)
+    # consistency with pose_to_c2w: decoded rpy reproduces the direction
+    d = jnp.asarray([[0.3, -0.5, 0.2]])
+    rpy = cam.direction_to_rpy(d)
+    pose = jnp.concatenate([jnp.zeros((1, 3)), rpy], axis=-1)
+    r, _ = cam.pose_to_c2w(pose[0])
+    fwd = np.asarray(r[:, 2])  # optical axis (body +x) in world
+    dn = np.asarray(d[0] / jnp.linalg.norm(d[0]))
+    np.testing.assert_allclose(fwd, dn, atol=1e-5)
