@@ -95,15 +95,39 @@ def _box_slices(lo: np.ndarray, hi: np.ndarray, box_lo: np.ndarray,
     return tuple(slice(a[i], b[i]) for i in range(3))
 
 
+def _rasterize_oriented(occ: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                        yaw: float, center_xy: np.ndarray, add: bool,
+                        box_lo: np.ndarray, vsize: np.ndarray) -> None:
+    """Rasterize an axis box rotated by `yaw` about `center_xy` into `occ`:
+    a voxel is inside iff its center, rotated back by -yaw, lies in
+    [lo, hi].  Vectorized over the whole grid (res^3 point-in-box tests)."""
+    res = occ.shape[0]
+    ax = np.arange(res)
+    cx = box_lo[0] + (ax + 0.5) * vsize[0]
+    cy = box_lo[1] + (ax + 0.5) * vsize[1]
+    cz = box_lo[2] + (ax + 0.5) * vsize[2]
+    xx, yy = np.meshgrid(cx, cy, indexing="ij")
+    c, s = np.cos(-yaw), np.sin(-yaw)
+    rx = center_xy[0] + c * (xx - center_xy[0]) - s * (yy - center_xy[1])
+    ry = center_xy[1] + s * (xx - center_xy[0]) + c * (yy - center_xy[1])
+    in_xy = (rx >= lo[0]) & (rx <= hi[0]) & (ry >= lo[1]) & (ry <= hi[1])
+    in_z = (cz >= lo[2]) & (cz <= hi[2])
+    mask = in_xy[:, :, None] & in_z[None, None, :]
+    occ[mask] = 1 if add else 0
+
+
 def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
                box_hi: np.ndarray) -> np.ndarray:
-    """One procedural 'house': base block + roof + extensions - openings.
+    """One procedural 'house': base block + roof + extensions - openings,
+    the whole structure rotated by a random yaw (oriented-box
+    rasterization) so the training distribution is not axis-aligned.
 
     Stands on the ground plane (z=0) inside the central region of the box,
     mimicking the building-scale Houses3K objects the reference trains on.
     """
     occ = np.zeros((res, res, res), dtype=np.uint8)
     vsize = (box_hi - box_lo) / res
+    global_yaw = rng.uniform(0.0, 2.0 * np.pi)
 
     w = rng.uniform(2.5, 5.5)
     d = rng.uniform(2.5, 5.5)
@@ -175,9 +199,10 @@ def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
             yaw_boxes.append((np.array([cx + pos * w - ow / 2, cy - d, 0.0]),
                               np.array([cx + pos * w + ow / 2, cy + d, oh]), False))
 
+    center = np.array([cx, cy], dtype=np.float64)
     for lo, hi, add in yaw_boxes:
-        sl = _box_slices(lo, hi, box_lo, vsize, res)
-        occ[sl] = 1 if add else 0
+        _rasterize_oriented(occ, lo, hi, global_yaw, center, add,
+                            box_lo, vsize)
     return occ
 
 
@@ -433,7 +458,7 @@ def _cache_path(cfg: SceneConfig, grid_res: int) -> str:
     import hashlib
     import os
     key = hashlib.sha1(
-        repr((dataclasses.astuple(cfg), grid_res, 2)).encode()).hexdigest()[:16]
+        repr((dataclasses.astuple(cfg), grid_res, 3)).encode()).hexdigest()[:16]
     root = os.environ.get("GENNBV_SCENE_CACHE",
                           os.path.join(os.path.expanduser("~"), ".cache",
                                        "gennbv_tpu"))

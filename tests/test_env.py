@@ -191,32 +191,27 @@ class TestScriptedCoverage:
         assert best.mean() > cov0.mean() + 0.2
 
 
-def test_hard_scenes_lower_random_floor():
-    """Hard procedural scenes (courtyards/tunnels/overhangs) must be harder
-    to cover: a random policy reaches strictly less coverage than on
-    standard scenes (the benchmark-difficulty knob; measured floors at the
-    eval protocol scale: 0.69 standard vs 0.62 hard)."""
+def test_hard_scenes_add_hidden_structure():
+    """Hard procedural scenes (courtyards/tunnels/overhangs) must contain
+    far more free space under solid cover — geometry no orbit/top-down
+    view can see (measured 5-8x more per scene, 100% separation across
+    seeds; the behavioral random-coverage floor drops 0.71 -> 0.66 at the
+    eval-protocol scale, too slow/noisy for a unit test)."""
     import numpy as np
     from gennbv_tpu.config import SceneConfig
+    from gennbv_tpu.env.scene import generate_procedural
 
-    def floor(difficulty, n=8, steps=12):
-        cfg = EnvConfig(
-            num_envs=n,
-            camera=CameraConfig(height=32, width=32),
-            renderer=RendererConfig(resolution=24),
-            scene=SceneConfig(num_scenes=n, seed=0, difficulty=difficulty),
-            max_episode_length=steps + 1,
-            coverage_done_threshold=None,
-        )
-        env = ReconEnv(cfg, make_scenes(cfg.scene, cfg.renderer.resolution))
-        state, out = env.reset(n)
-        rng = jax.random.PRNGKey(0)
-        step = jax.jit(env.step)
-        for _ in range(steps):
-            rng, r = jax.random.split(rng)
-            a = (jax.random.uniform(r, (n, 6)) * env.nvec).astype(jnp.int32)
-            state, out = step(state, a)
-        return float(out.coverage.mean())
+    def under_solid_free(difficulty, n=6, res=32):
+        scenes = generate_procedural(
+            SceneConfig(num_scenes=n, seed=1, difficulty=difficulty), res)
+        occ = np.array(scenes.render_occ).reshape(-1, res, res, res)
+        counts = []
+        for o in occ:
+            above = np.flip(np.cumsum(np.flip(o, 2), axis=2), 2) - o
+            counts.append(int(((o == 0) & (above > 0)).sum()))
+        return np.array(counts)
 
-    std, hard = floor("standard"), floor("hard")
-    assert hard < std, (std, hard)
+    std = under_solid_free("standard")
+    hard = under_solid_free("hard")
+    assert (hard > std).all(), (std, hard)
+    assert hard.mean() > 3 * std.mean(), (std.mean(), hard.mean())
