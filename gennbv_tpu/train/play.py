@@ -70,6 +70,9 @@ def main(argv=None):
                    help="write the deterministic policy as StableHLO to this path")
     p.add_argument("--ply", type=str, default=None,
                    help="write env 0's reconstruction point cloud to this path")
+    p.add_argument("--gif", type=str, default=None,
+                   help="record env 0's episode (depth view + coverage map) "
+                        "as an animated GIF (vec_video_recorder analogue)")
     p.add_argument("--num_envs", type=int, default=None)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
     args = p.parse_args(argv)
@@ -120,22 +123,35 @@ def main(argv=None):
                           batch=env_cfg.num_envs)
         print(f"exported StableHLO policy ({n} bytes) -> {args.export}")
 
-    if args.ply:
-        # deterministic rollout of env 0, dumping its scanned surface voxels
+    if args.ply or args.gif:
+        # deterministic rollout of env 0, recording depth + coverage
+        from gennbv_tpu.utils.episode_video import EpisodeVideoRecorder
+        rec = EpisodeVideoRecorder(env_cfg.camera.depth_max)
+        k, rh, rw = env_cfg.rgb_k, env_cfg.rgb_h, env_cfg.rgb_w
         state, out = env.reset(env_cfg.num_envs)
         for _ in range(env_cfg.max_episode_length):
             out_m = model.apply(variables, out.obs, train=False)
             actions = distributions.mode(out_m.logits)
             state, out = env.step(state, actions)
-        grid = np.array(state.scanned_gt[0])
-        sid = int(np.array(state.scene_id[0]))
-        rng = np.array(env.scenes.range_gt[sid])
-        vs = np.array(env.scenes.voxel_size[sid])
-        idx = np.argwhere(grid > 0.5)
-        # range_gt layout: (x_max, x_min, y_max, y_min, z_max, z_min)
-        pts = (idx + 0.5) * vs[None, :] + rng[None, [1, 3, 5]]
-        save_ply(args.ply, pts)
-        print(f"wrote {len(pts)} scanned voxels -> {args.ply}")
+            if args.gif:
+                # latest shaded-depth history frame of env 0 (obs rgb slice
+                # is in [0, 255] where bright = near; recover pseudo-depth)
+                gray = np.array(out.obs[0, -rh * rw:]).reshape(rh, rw)
+                depth = (1.0 - gray / 255.0) * env_cfg.camera.depth_max
+                rec.add(depth, np.array(state.scanned_gt[0]))
+        if args.gif:
+            rec.write(args.gif)
+            print(f"wrote {len(rec)}-frame episode gif -> {args.gif}")
+        if args.ply:
+            grid = np.array(state.scanned_gt[0])
+            sid = int(np.array(state.scene_id[0]))
+            rng = np.array(env.scenes.range_gt[sid])
+            vs = np.array(env.scenes.voxel_size[sid])
+            idx = np.argwhere(grid > 0.5)
+            # range_gt layout: (x_max, x_min, y_max, y_min, z_max, z_min)
+            pts = (idx + 0.5) * vs[None, :] + rng[None, [1, 3, 5]]
+            save_ply(args.ply, pts)
+            print(f"wrote {len(pts)} scanned voxels -> {args.ply}")
 
 
 if __name__ == "__main__":

@@ -110,3 +110,24 @@ def test_save_ply(tmp_path):
     save_ply(p, pts)
     txt = open(p).read()
     assert "element vertex 2" in txt and "3.0000 4.0000 5.0000" in txt
+
+
+def test_episode_video_recorder(tmp_path):
+    import numpy as np
+    from gennbv_tpu.utils.episode_video import EpisodeVideoRecorder
+
+    rec = EpisodeVideoRecorder(depth_max=10.0, scale=2)
+    rng = np.random.RandomState(0)
+    for t in range(5):
+        rec.add(rng.uniform(0, 10, (16, 16)), rng.rand(8, 8, 8) > 0.5)
+    p = str(tmp_path / "ep.gif")
+    rec.write(p, fps=2)
+    from PIL import Image
+    im = Image.open(p)
+    assert im.n_frames == 5
+    assert im.size[0] == 2 * im.size[1]  # depth panel + coverage panel
+
+    # empty recorder -> clear error
+    import pytest
+    with pytest.raises(ValueError, match="no frames"):
+        EpisodeVideoRecorder(10.0).write(str(tmp_path / "x.gif"))
