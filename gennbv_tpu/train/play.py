@@ -73,6 +73,9 @@ def main(argv=None):
     p.add_argument("--gif", type=str, default=None,
                    help="record env 0's episode (depth view + coverage map) "
                         "as an animated GIF (vec_video_recorder analogue)")
+    p.add_argument("--obj", type=str, default=None,
+                   help="write env 0's reconstruction as a quad-mesh OBJ "
+                        "(native C++ mesher)")
     p.add_argument("--num_envs", type=int, default=None)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
     args = p.parse_args(argv)
@@ -123,7 +126,7 @@ def main(argv=None):
                           batch=env_cfg.num_envs)
         print(f"exported StableHLO policy ({n} bytes) -> {args.export}")
 
-    if args.ply or args.gif:
+    if args.ply or args.gif or args.obj:
         # deterministic rollout of env 0, recording depth + coverage
         from gennbv_tpu.utils.episode_video import EpisodeVideoRecorder
         rec = EpisodeVideoRecorder(env_cfg.camera.depth_max)
@@ -142,6 +145,15 @@ def main(argv=None):
         if args.gif:
             rec.write(args.gif)
             print(f"wrote {len(rec)}-frame episode gif -> {args.gif}")
+        if args.obj:
+            from gennbv_tpu.utils.native import mesh_voxels_to_obj
+            grid = np.array(state.scanned_gt[0])
+            sid = int(np.array(state.scene_id[0]))
+            rng = np.array(env.scenes.range_gt[sid])
+            vs = np.array(env.scenes.voxel_size[sid])
+            origin = rng[[1, 3, 5]] - 0.5 * vs  # voxel lower corners
+            n = mesh_voxels_to_obj(grid, origin, vs, args.obj)
+            print(f"wrote {n}-quad reconstruction mesh -> {args.obj}")
         if args.ply:
             grid = np.array(state.scanned_gt[0])
             sid = int(np.array(state.scene_id[0]))

@@ -49,6 +49,53 @@ def load_library() -> ctypes.CDLL:
     return lib
 
 
+_MESHER_SRC = os.path.join(_NATIVE_DIR, "mesher.cpp")
+_MESHER_LIB = os.path.join(_NATIVE_DIR, "libmesher.so")
+_mesher: Optional[ctypes.CDLL] = None
+
+
+def load_mesher() -> ctypes.CDLL:
+    global _mesher
+    if _mesher is not None:
+        return _mesher
+    if (not os.path.exists(_MESHER_LIB)) or (
+        os.path.getmtime(_MESHER_LIB) < os.path.getmtime(_MESHER_SRC)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _MESHER_LIB, _MESHER_SRC],
+            check=True,
+        )
+    lib = ctypes.CDLL(_MESHER_LIB)
+    lib.mesh_voxels_to_obj.restype = ctypes.c_int64
+    lib.mesh_voxels_to_obj.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_char_p,
+    ]
+    _mesher = lib
+    return lib
+
+
+def mesh_voxels_to_obj(grid: np.ndarray, origin, vsize, path: str) -> int:
+    """Write a [G,G,G] {0,1} voxel grid as a quad-mesh OBJ (native/mesher.cpp
+    — the export counterpart of the voxelizer).  Returns the quad count."""
+    lib = load_mesher()
+    g = np.ascontiguousarray(np.asarray(grid) > 0.5).astype(np.uint8)
+    assert g.ndim == 3 and g.shape[0] == g.shape[1] == g.shape[2], g.shape
+    n = lib.mesh_voxels_to_obj(
+        g.reshape(-1), np.int32(g.shape[0]),
+        np.asarray(origin, np.float64).copy(),
+        np.asarray(vsize, np.float64).copy(),
+        path.encode(),
+    )
+    if n < 0:
+        raise RuntimeError(f"mesh_voxels_to_obj failed writing {path}")
+    return int(n)
+
+
 def voxelize_obj(
     path: str,
     res: int,

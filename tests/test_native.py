@@ -83,3 +83,36 @@ class TestVoxelizer:
         surf = _surface_from_solid(occ)
         gt = _downsample_surface(surf, res, 20)
         assert gt.sum() > 0
+
+
+def test_mesher_single_voxel_and_roundtrip(tmp_path):
+    """Native mesher: one voxel -> 8 verts / 6 quads; a meshed box
+    re-voxelizes to (a superset of) the original solid."""
+    import numpy as np
+    from gennbv_tpu.utils.native import mesh_voxels_to_obj, voxelize_obj
+
+    g = np.zeros((4, 4, 4), np.uint8)
+    g[1, 1, 1] = 1
+    p = str(tmp_path / "one.obj")
+    n = mesh_voxels_to_obj(g, origin=(0, 0, 0), vsize=(1, 1, 1), path=p)
+    assert n == 6
+    txt = open(p).read()
+    assert txt.count("\nv ") + txt.startswith("v ") == 8 or txt.count("v ") >= 8
+    assert txt.count("\nf ") == 6
+
+    # roundtrip: 2x2x2 solid block -> mesh -> voxelize at the same box
+    g2 = np.zeros((4, 4, 4), np.uint8)
+    g2[1:3, 1:3, 1:3] = 1
+    p2 = str(tmp_path / "block.obj")
+    mesh_voxels_to_obj(g2, origin=(0, 0, 0), vsize=(1, 1, 1), path=p2)
+    occ, lo, hi = voxelize_obj(p2, res=4,
+                               box=(np.zeros(3), np.full(3, 4.0)), solid=True)
+    # mesh faces sit exactly ON voxel boundaries, so the rasterized shell
+    # may spill one voxel outward: require original ⊆ occ ⊆ dilate(original)
+    assert (occ[g2 == 1] == 1).all()
+    dil = np.zeros_like(g2)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                dil |= np.roll(np.roll(np.roll(g2, dx, 0), dy, 1), dz, 2)
+    assert (occ <= dil).all()
