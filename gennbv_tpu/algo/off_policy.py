@@ -235,11 +235,11 @@ class OffPolicyRunner:
 
         def env_step(carry, rng_t):
             st_, buf_, env_state, obs = carry
-            r_a, r_e = jax.random.split(rng_t)
+            r_a, r_p, r_e = jax.random.split(rng_t, 3)
             a_rand = jax.random.uniform(
                 r_a, (self.num_envs, self.env.num_actions),
                 minval=-cfg.max_action, maxval=cfg.max_action)
-            a_pol = self.learner.explore(st_.actor_params, obs, r_a)
+            a_pol = self.learner.explore(st_.actor_params, obs, r_p)
             actions = jnp.where(random_policy, a_rand, a_pol)
             env_state, out = self.env.step(env_state, actions)
             buf_ = rb.add_batch(buf_, obs, actions, out.reward, out.obs,

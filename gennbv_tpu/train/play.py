@@ -130,7 +130,7 @@ def main(argv=None):
         # deterministic rollout of env 0, recording depth + coverage
         from gennbv_tpu.utils.episode_video import EpisodeVideoRecorder
         rec = EpisodeVideoRecorder(env_cfg.camera.depth_max)
-        k, rh, rw = env_cfg.rgb_k, env_cfg.rgb_h, env_cfg.rgb_w
+        rh, rw = env_cfg.rgb_h, env_cfg.rgb_w
         state, out = env.reset(env_cfg.num_envs)
         for _ in range(env_cfg.max_episode_length):
             out_m = model.apply(variables, out.obs, train=False)
