@@ -79,6 +79,7 @@ class Runner:
         self.global_step = 0
         self.iteration = 0
         self._best_metric = -float("inf")
+        self._best_eval = -float("inf")
 
     # ------------------------------------------------------------------
     def _train_iteration(self, ts: ppo.PPOTrainState, env_state, obs, rng):
@@ -202,6 +203,14 @@ class Runner:
                     "eval/mean_ep_length": res.mean_ep_length,
                     "eval/final_coverage": res.mean_final_coverage,
                 })
+                # best-by-held-out-eval checkpoint (the reference's
+                # EvalCallback best_model, callbacks.py:685-693) — the
+                # model to ship when train-scene reward overfits
+                if self.ckpt is not None and (
+                    res.mean_final_coverage > self._best_eval
+                ):
+                    self._best_eval = res.mean_final_coverage
+                    self.ckpt.save_best("eval_coverage", ts)
 
             if self.logger is not None:
                 self.logger.log(metrics, self.iteration)
