@@ -170,7 +170,10 @@ class Runner:
                 ts, env_state, obs, self.rng, metrics = self._train_iter(
                     ts, env_state, obs, self.rng
                 )
-                metrics = {k: float(v) for k, v in metrics.items()}
+                # ONE host transfer for all metrics: per-key float() costs a
+                # device round-trip each (~18 tunnel syncs/iter, ~5 s on axon)
+                metrics = {k: float(v)
+                           for k, v in jax.device_get(metrics).items()}
             dt_iter = time.time() - t0
             self.global_step += steps_per_iter
             self.iteration += 1
