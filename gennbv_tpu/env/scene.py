@@ -118,9 +118,11 @@ def _rasterize_oriented(occ: np.ndarray, lo: np.ndarray, hi: np.ndarray,
 
 def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
                box_hi: np.ndarray) -> np.ndarray:
-    """One procedural 'house': base block + roof + extensions - openings,
-    the whole structure rotated by a random yaw (oriented-box
-    rasterization) so the training distribution is not axis-aligned.
+    """One procedural 'house': footprint plan (rect/L/T/U) + roof +
+    extensions - openings, the whole structure rotated by a random yaw
+    (oriented-box rasterization) so the training distribution is not
+    axis-aligned.  Optionally a smaller detached outbuilding (multi-body
+    scenes, like Houses3K's compound houses).
 
     Stands on the ground plane (z=0) inside the central region of the box,
     mimicking the building-scale Houses3K objects the reference trains on.
@@ -138,6 +140,25 @@ def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
 
     yaw_boxes.append((np.array([cx - w / 2, cy - d / 2, 0.0]),
                       np.array([cx + w / 2, cy + d / 2, h]), True))
+
+    # footprint plan: keep a plain rectangle half the time; otherwise graft
+    # perpendicular wings onto the base to make an L / T / U plan (concave
+    # footprints need views from inside the notch, not just an orbit)
+    plan = rng.choice(["rect", "L", "T", "U"], p=[0.5, 0.2, 0.15, 0.15])
+    wing_h = h * rng.uniform(0.6, 1.0)
+    ww = rng.uniform(1.2, 0.45 * w)      # wing width (along x)
+    wd = rng.uniform(1.5, 3.0)           # wing protrusion (along y)
+    wy = rng.choice([-1.0, 1.0])         # which side the wings stick out
+    if plan in ("L", "U"):
+        yaw_boxes.append((np.array([cx - w / 2, cy + wy * d / 2 - (wd if wy < 0 else 0), 0.0]),
+                          np.array([cx - w / 2 + ww, cy + wy * d / 2 + (wd if wy > 0 else 0), wing_h]), True))
+    if plan in ("T",):
+        tx = cx + rng.uniform(-0.2, 0.2) * w
+        yaw_boxes.append((np.array([tx - ww / 2, cy + wy * d / 2 - (wd if wy < 0 else 0), 0.0]),
+                          np.array([tx + ww / 2, cy + wy * d / 2 + (wd if wy > 0 else 0), wing_h]), True))
+    if plan == "U":
+        yaw_boxes.append((np.array([cx + w / 2 - ww, cy + wy * d / 2 - (wd if wy < 0 else 0), 0.0]),
+                          np.array([cx + w / 2, cy + wy * d / 2 + (wd if wy > 0 else 0), wing_h]), True))
 
     # roof: stepped pyramid or flat parapet
     style = rng.randint(3)
@@ -198,6 +219,19 @@ def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
         else:
             yaw_boxes.append((np.array([cx + pos * w - ow / 2, cy - d, 0.0]),
                               np.array([cx + pos * w + ow / 2, cy + d, oh]), False))
+
+    # detached outbuilding (shed / garage): a second body occludes the main
+    # one and forces the policy to split its view budget between structures
+    if rng.rand() < 0.35:
+        ow2 = rng.uniform(1.0, 2.2)
+        od2 = rng.uniform(1.0, 2.2)
+        oh2 = rng.uniform(0.8, 2.0)
+        ang = rng.uniform(0.0, 2.0 * np.pi)
+        dist = max(w, d) / 2 + max(ow2, od2) / 2 + rng.uniform(0.8, 2.0)
+        ox = cx + dist * np.cos(ang)
+        oy = cy + dist * np.sin(ang)
+        yaw_boxes.append((np.array([ox - ow2 / 2, oy - od2 / 2, 0.0]),
+                          np.array([ox + ow2 / 2, oy + od2 / 2, oh2]), True))
 
     center = np.array([cx, cy], dtype=np.float64)
     for lo, hi, add in yaw_boxes:
@@ -458,7 +492,7 @@ def _cache_path(cfg: SceneConfig, grid_res: int) -> str:
     import hashlib
     import os
     key = hashlib.sha1(
-        repr((dataclasses.astuple(cfg), grid_res, 3)).encode()).hexdigest()[:16]
+        repr((dataclasses.astuple(cfg), grid_res, 4)).encode()).hexdigest()[:16]
     root = os.environ.get("GENNBV_SCENE_CACHE",
                           os.path.join(os.path.expanduser("~"), ".cache",
                                        "gennbv_tpu"))

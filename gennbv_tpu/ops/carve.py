@@ -152,9 +152,13 @@ def carve_ztest(
     ui = jnp.clip(ui, 0, w - 1)
     vi = jnp.clip(vi, 0, h - 1)
     # one-hot MXU gather instead of depth[vi, ui]: the XLA gather is
-    # latency-bound, ~4.6x slower at 256 envs (tools/bench_scatter.py)
+    # latency-bound, ~4.6x slower at 256 envs (tools/bench_scatter.py).
+    # Single-plane bf16: both consumers are slack comparisons (margin is a
+    # half mapping voxel ~0.25 m; the fg threshold sits at depth_max where
+    # empty pixels hold exactly depth_max, bf16-representable) and bf16's
+    # absolute error at scene depths is an order below both slacks.
     from gennbv_tpu.ops import mxu
-    d_px = mxu.gather_image(depth, vi, ui)
+    d_px = mxu.gather_image(depth, vi, ui, exact=False)
     if fg is None:
         assert depth_max is not None
         fg_px = d_px < depth_max * (1.0 - 1e-4)

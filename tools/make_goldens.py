@@ -10,9 +10,17 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
+import jax
+
+# env vars alone are too late here: a sitecustomize hook pre-imports jax with
+# JAX_PLATFORMS=axon, so the platform must be forced via jax.config (same as
+# tests/conftest.py) or goldens silently pin TPU numerics
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+
 import jax.numpy as jnp
 
 
