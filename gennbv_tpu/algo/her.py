@@ -7,11 +7,19 @@ by an achieved goal from a later step of the same episode, and the reward is
 recomputed (her_replay_buffer.py semantics), turning sparse-reward tasks
 learnable.
 
-TPU-native design: the buffer stores whole fixed-length episodes
-``[E, T, ...]`` in HBM (the functional envs here terminate by timeout, so
-episode length is static — documented constraint); sampling draws
-(episode, t, future offset) index triples and relabels with pure gathers, so
-collect->relabel->update stays one jitted program.
+TPU-native design: the buffer stores fixed-shape ROUNDS of T env steps
+``[E, T, ...]`` in HBM; episodes inside a round may terminate early
+(auto-reset envs), so each slot also stores per-step done flags and a
+precomputed segment-end index.  Sampling draws (round, t, future offset)
+index triples and relabels with pure gathers — the future goal is clamped
+to t's own episode segment, so relabeling never crosses a reset boundary —
+and collect->relabel->update stays one jitted program.
+
+Variable-length semantics: envs emit the PRE-reset terminal observation at
+a done step (the ReconEnv contract), so ``obs[t+1]`` of a terminal
+transition is the true terminal obs.  The transition at the START of a
+follow-on segment has a stale obs (the previous episode's terminal) —
+sampling shifts such indices forward within the segment.
 
 Goal-conditioned env protocol (SB3's GoalEnv dict obs, flattened):
     obs = concat([observation, achieved_goal, desired_goal])
@@ -32,8 +40,11 @@ from gennbv_tpu.algo.off_policy import OffPolicyConfig, OffPolicyLearner
 class EpisodeBuffer(NamedTuple):
     obs: jnp.ndarray       # [E, T+1, D] (T+1 so next_obs is obs[:, t+1])
     actions: jnp.ndarray   # [E, T, A]
-    pos: jnp.ndarray       # scalar int32: next episode slot
-    size: jnp.ndarray      # scalar int32: filled episodes
+    done: jnp.ndarray      # [E, T] {0,1}: episode ended at this step
+    terminal: jnp.ndarray  # [E, T] {0,1}: done AND not timeout (gamma mask)
+    seg_end: jnp.ndarray   # [E, T] int32: last transition index of t's episode
+    pos: jnp.ndarray       # scalar int32: next round slot
+    size: jnp.ndarray      # scalar int32: filled rounds
 
 
 def init_episode_buffer(capacity_episodes: int, ep_len: int, obs_dim: int,
@@ -41,22 +52,61 @@ def init_episode_buffer(capacity_episodes: int, ep_len: int, obs_dim: int,
     return EpisodeBuffer(
         obs=jnp.zeros((capacity_episodes, ep_len + 1, obs_dim), jnp.float32),
         actions=jnp.zeros((capacity_episodes, ep_len, action_dim), jnp.float32),
+        done=jnp.zeros((capacity_episodes, ep_len), jnp.float32),
+        terminal=jnp.zeros((capacity_episodes, ep_len), jnp.float32),
+        seg_end=jnp.broadcast_to(
+            jnp.asarray(ep_len - 1, jnp.int32),
+            (capacity_episodes, ep_len)).copy(),
         pos=jnp.asarray(0, jnp.int32),
         size=jnp.asarray(0, jnp.int32),
     )
 
 
+def segment_ends(done_seq: jnp.ndarray) -> jnp.ndarray:
+    """[N, T] {0,1} dones -> [N, T] int32 index of the last transition of the
+    episode segment containing each step (reverse scan; a segment truncated
+    by the round boundary ends at T-1)."""
+    t_len = done_seq.shape[-1]
+
+    def back(carry, x):
+        i, d = x
+        carry = jnp.where(d > 0.5, i, carry)
+        return carry, carry
+
+    init = jnp.full(done_seq.shape[:-1], t_len - 1, jnp.int32)
+    idx = jnp.arange(t_len, dtype=jnp.int32)
+    _, ends = jax.lax.scan(
+        back, init, (idx, done_seq.swapaxes(0, -1)), reverse=True)
+    return ends.swapaxes(0, -1).astype(jnp.int32)
+
+
 def add_episodes(buf: EpisodeBuffer, obs_seq: jnp.ndarray,
-                 act_seq: jnp.ndarray) -> EpisodeBuffer:
-    """obs_seq [N, T+1, D], act_seq [N, T, A]: one finished episode per env."""
-    n = obs_seq.shape[0]
+                 act_seq: jnp.ndarray, done_seq: jnp.ndarray | None = None,
+                 timeout_seq: jnp.ndarray | None = None) -> EpisodeBuffer:
+    """obs_seq [N, T+1, D], act_seq [N, T, A]: one T-step round per env.
+
+    done_seq/timeout_seq [N, T] mark in-round episode boundaries; omitted =
+    fixed-length episodes (one segment per round, the legacy contract)."""
+    n, t_plus1, _ = obs_seq.shape
+    t_len = t_plus1 - 1
     e = buf.obs.shape[0]
-    assert e % n == 0, "episode capacity must be a multiple of num_envs"
+    assert e % n == 0, "round capacity must be a multiple of num_envs"
+    if done_seq is None:
+        done_seq = jnp.zeros((n, t_len), jnp.float32)
+        done_seq = done_seq.at[:, -1].set(1.0)
+        timeout_seq = jnp.ones((n, t_len), jnp.float32) * done_seq
+    elif timeout_seq is None:
+        timeout_seq = jnp.zeros((n, t_len), jnp.float32)
+    done_seq = done_seq.astype(jnp.float32)
+    terminal = done_seq * (1.0 - timeout_seq.astype(jnp.float32))
     upd = lambda b, x: jax.lax.dynamic_update_slice_in_dim(
         b, x.astype(b.dtype), buf.pos, axis=0)
     return EpisodeBuffer(
         obs=upd(buf.obs, obs_seq),
         actions=upd(buf.actions, act_seq),
+        done=upd(buf.done, done_seq),
+        terminal=upd(buf.terminal, terminal),
+        seg_end=upd(buf.seg_end, segment_ends(done_seq)),
         pos=(buf.pos + n) % e,
         size=jnp.minimum(buf.size + n, e),
     )
@@ -69,8 +119,8 @@ class HERConfig:
 
 
 def sample_relabeled(buf: EpisodeBuffer, rng: jax.Array, batch_size: int,
-                     goal_dim: int, compute_reward, her_cfg: HERConfig,
-                     gamma_terminal: bool = False) -> rb.Batch:
+                     goal_dim: int, compute_reward,
+                     her_cfg: HERConfig) -> rb.Batch:
     """Sample transitions; relabel a fraction with future achieved goals.
 
     Obs layout per protocol: [..., core | achieved(goal_dim) | desired(goal_dim)].
@@ -80,9 +130,21 @@ def sample_relabeled(buf: EpisodeBuffer, rng: jax.Array, batch_size: int,
     r_e, r_t, r_f, r_m = jax.random.split(rng, 4)
     ep = jax.random.randint(r_e, (batch_size,), 0, jnp.maximum(buf.size, 1))
     t = jax.random.randint(r_t, (batch_size,), 0, t_len)
-    # future index in (t, T]
+
+    # a transition whose obs index sits right after an in-round done has the
+    # PREVIOUS episode's pre-reset terminal obs (stale) — shift forward
+    # within the new segment (two hops covers consecutive 1-step episodes)
+    def stale(tt):
+        return (tt > 0) & (buf.done[ep, jnp.maximum(tt - 1, 0)] > 0.5)
+
+    t = jnp.where(stale(t), jnp.minimum(t + 1, t_len - 1), t)
+    t = jnp.where(stale(t), jnp.minimum(t + 1, t_len - 1), t)
+
+    seg_end = buf.seg_end[ep, t]                     # last transition of t's episode
+    # future achieved-goal obs index in (t, seg_end + 1] (obs seg_end+1 is
+    # the segment's terminal observation)
     offset = jax.random.randint(r_f, (batch_size,), 1, t_len + 1)
-    fut = jnp.minimum(t + offset, t_len)
+    fut = jnp.minimum(t + offset, seg_end + 1)
 
     obs = buf.obs[ep, t]
     next_obs = buf.obs[ep, t + 1]
@@ -97,8 +159,9 @@ def sample_relabeled(buf: EpisodeBuffer, rng: jax.Array, batch_size: int,
 
     achieved_next = next_obs[:, d - 2 * goal_dim: d - goal_dim]
     rewards = compute_reward(achieved_next, new_goal)
-    # fixtures terminate on timeout only -> always bootstrap
-    terminals = jnp.zeros(batch_size, jnp.float32)
+    # gamma mask: env-flagged true terminals cut the bootstrap; timeouts
+    # (and round-truncated segments) bootstrap as usual
+    terminals = buf.terminal[ep, t]
     return rb.Batch(obs=obs, actions=actions, rewards=rewards,
                     next_obs=next_obs, terminals=terminals)
 
@@ -139,15 +202,16 @@ class HERRunner:
             a_pol = self.learner.explore(st.actor_params, obs, r_a)
             actions = jnp.where(random_policy, a_rand, a_pol)
             env_state, out = env.step(env_state, actions)
-            return (env_state, out.obs), (obs, actions)
+            return (env_state, out.obs), (obs, actions, out.done, out.time_out)
 
         rngs = jax.random.split(r_scan, env.ep_length)
-        (env_state, obs_last), (obs_seq, act_seq) = jax.lax.scan(
-            step_fn, (env_state, obs0), rngs)
+        (env_state, obs_last), (obs_seq, act_seq, done_seq, to_seq) = \
+            jax.lax.scan(step_fn, (env_state, obs0), rngs)
         # [T, N, ...] -> [N, T(+1), ...]
         obs_full = jnp.concatenate([obs_seq, obs_last[None]], axis=0)
         buf = add_episodes(buf, obs_full.transpose(1, 0, 2),
-                           act_seq.transpose(1, 0, 2))
+                           act_seq.transpose(1, 0, 2),
+                           done_seq.T, to_seq.T)
 
         def do_updates(args):
             st_u, rng_u = args

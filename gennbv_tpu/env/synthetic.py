@@ -138,12 +138,18 @@ class GoalPointEnv:
     """Sparse-reward goal task: point moves by action; reward 0 iff within
     goal_eps of the desired goal, else -1.  obs = [pos | pos | goal]
     (core == achieved here).  Plain off-policy RL gets almost no signal;
-    HER relabeling makes it learnable."""
+    HER relabeling makes it learnable.
 
-    def __init__(self, dim: int = 2, ep_length: int = 8, goal_eps: float = 0.1):
+    Emits the PRE-reset observation at a done step (the ReconEnv contract);
+    with ``terminate_on_success`` episodes end early on goal reach, giving
+    variable-length episodes inside a fixed-shape rollout."""
+
+    def __init__(self, dim: int = 2, ep_length: int = 8, goal_eps: float = 0.1,
+                 terminate_on_success: bool = False):
         self.dim = dim
         self.ep_length = ep_length
         self.goal_eps = goal_eps
+        self.terminate_on_success = terminate_on_success
         self.num_actions = dim
         self.goal_dim = dim
         self.obs_dim = 3 * dim
@@ -169,7 +175,11 @@ class GoalPointEnv:
         pos = pos + 0.25 * jnp.clip(actions, -1, 1)
         reward = self.compute_reward(pos, goal)
         ep_len = ep_len + 1
-        done = ep_len >= self.ep_length
+        time_out = ep_len >= self.ep_length
+        success = reward == 0.0
+        done = time_out | (success if self.terminate_on_success
+                           else jnp.zeros_like(time_out))
+        obs = self._obs(pos, goal)  # PRE-reset observation
         ks = jax.vmap(jax.random.split)(keys)
         new_pos = jax.vmap(lambda k: jax.random.uniform(
             k, (self.dim,), minval=-1, maxval=1))(ks[:, 0])
@@ -178,4 +188,4 @@ class GoalPointEnv:
         pos = jnp.where(done[:, None], new_pos, pos)
         goal = jnp.where(done[:, None], new_goal, goal)
         state = (pos, goal, jnp.where(done, 0, ep_len), ks[:, 1])
-        return state, SynthOutput(self._obs(pos, goal), reward, done, done)
+        return state, SynthOutput(obs, reward, done, time_out & done)
