@@ -101,8 +101,10 @@ def main():
     bench("carve_ztest (G^3 gather)", jax.jit(jax.vmap(carve_one)),
           state.scene_id, zbuf, r_c2w, t_c2w)
 
-    f_coll = jax.jit(jax.vmap(env._collision_one))
-    bench("collision", f_coll, state.scene_id, poses)
+    # the batch form used by env.step (the vmapped per-env form materializes
+    # every env's [R^3] grid and reads ~6.6 ms — kept out of the hot path)
+    f_coll = jax.jit(env._collision_batch)
+    bench("collision (batch, as in step)", f_coll, state.scene_id, poses)
 
     f_gray = jax.jit(lambda d: camera.depth_to_grayscale(
         d.reshape(num_envs, h, w), cfg.camera.depth_max, cfg.rgb_h, cfg.rgb_w))
