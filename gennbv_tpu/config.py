@@ -48,7 +48,9 @@ class SceneConfig:
     # world box of the mapped region; x,y in [-extent/2, extent/2], z in [0, extent_z]
     extent_xy: float = 10.0
     extent_z: float = 6.0
-    dataset: str = "procedural"   # "procedural" | "terrain" | dataset dir path
+    # "procedural" (houses) | "objects" (primitive compositions, the
+    # OmniObject3D-style zero-shot family) | "terrain" | dataset dir path
+    dataset: str = "procedural"
     # procedural generator difficulty: "standard" | "hard" (adds courtyards,
     # tunnels, overhangs — concave structure invisible from orbit views)
     difficulty: str = "standard"

@@ -240,6 +240,59 @@ def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
     return occ
 
 
+def _gen_object(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
+                box_hi: np.ndarray) -> np.ndarray:
+    """One procedural 'object': 1-3 smooth primitives (ellipsoid, cylinder,
+    cone, torus, rounded box) stacked/unioned, standing on the ground plane —
+    a distribution-shifted scene family in the spirit of the reference's
+    OmniObject3D zero-shot benchmark (everyday objects vs the Houses3K
+    training houses, README.md:45).  Shares the coordinate/GT conventions of
+    the house generator so a policy trained on houses evaluates unchanged.
+    """
+    vsize = (box_hi - box_lo) / res
+    ax = np.arange(res)
+    cx = box_lo[0] + (ax + 0.5) * vsize[0]
+    cy = box_lo[1] + (ax + 0.5) * vsize[1]
+    cz = box_lo[2] + (ax + 0.5) * vsize[2]
+    xx, yy, zz = np.meshgrid(cx, cy, cz, indexing="ij")
+    occ = np.zeros((res, res, res), dtype=np.uint8)
+
+    n_parts = rng.randint(1, 4)
+    base_z = 0.0
+    ox, oy = rng.uniform(-1.0, 1.0, 2)
+    for _ in range(n_parts):
+        kind = rng.choice(["ellipsoid", "cylinder", "cone", "torus", "box"])
+        rx = rng.uniform(1.0, 2.8)
+        ry = rx * rng.uniform(0.6, 1.4)
+        h = rng.uniform(1.0, 2.8)
+        px = ox + rng.uniform(-0.6, 0.6)
+        py = oy + rng.uniform(-0.6, 0.6)
+        dx, dy, dz = xx - px, yy - py, zz - (base_z + h / 2)
+        if kind == "ellipsoid":
+            m = (dx / rx) ** 2 + (dy / ry) ** 2 + (dz / (h / 2)) ** 2 <= 1.0
+        elif kind == "cylinder":
+            m = ((dx / rx) ** 2 + (dy / ry) ** 2 <= 1.0) & (np.abs(dz) <= h / 2)
+        elif kind == "cone":
+            frac = np.clip((h / 2 - dz) / h, 0.0, 1.0)  # 1 at base, 0 at tip
+            m = ((dx ** 2 + dy ** 2) <= (rx * frac) ** 2) & (np.abs(dz) <= h / 2)
+        elif kind == "torus":
+            ring_r = max(rx, 0.8)
+            tube_r = rng.uniform(0.3, 0.45) * ring_r
+            q = np.sqrt(dx ** 2 + dy ** 2) - ring_r
+            m = q ** 2 + dz ** 2 <= tube_r ** 2
+        else:  # box with a random yaw
+            yaw = rng.uniform(0, np.pi)
+            c, s = np.cos(yaw), np.sin(yaw)
+            rxx = c * dx - s * dy
+            ryy = s * dx + c * dy
+            m = (np.abs(rxx) <= rx) & (np.abs(ryy) <= ry) & (np.abs(dz) <= h / 2)
+        occ[m] = 1
+        base_z += h * rng.uniform(0.5, 0.9)   # stack with overlap
+    # clamp below-ground (torus/ellipsoid centers can dip under z=0)
+    occ[:, :, cz < 0.0] = 0
+    return occ
+
+
 def _harden_house(occ: np.ndarray, rng: np.random.RandomState,
                   box_lo: np.ndarray, box_hi: np.ndarray) -> np.ndarray:
     """Add concave structure that a top-down or orbit view cannot see:
@@ -360,9 +413,12 @@ def generate_procedural(cfg: SceneConfig, grid_res: int,
         lo = np.array([-e_xy / 2, -e_xy / 2, -v[2] / 2], dtype=np.float32)
         hi = np.array([e_xy / 2, e_xy / 2, e_z - v[2] / 2], dtype=np.float32)
 
-        occ = _gen_house(rng, r, lo, hi)
-        if cfg.difficulty == "hard":
-            occ = _harden_house(occ, rng, lo, hi)
+        if cfg.dataset == "objects":
+            occ = _gen_object(rng, r, lo, hi)
+        else:
+            occ = _gen_house(rng, r, lo, hi)
+            if cfg.difficulty == "hard":
+                occ = _harden_house(occ, rng, lo, hi)
         surface = _surface_from_solid(occ)
         grid_gt[i] = _downsample_surface(surface, r, g)
         gt_points[i], gt_points_mask[i] = _surface_points(
@@ -520,7 +576,7 @@ def _load_scene_cache(path: str) -> SceneSet:
 
 
 def make_scenes(cfg: SceneConfig, grid_res: int) -> SceneSet:
-    if cfg.dataset in ("procedural", "terrain"):
+    if cfg.dataset in ("procedural", "objects", "terrain"):
         # host-side generation is ~45 s of numpy at training scale; cache by
         # config hash (generation is deterministic in cfg.seed)
         import os

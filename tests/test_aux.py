@@ -131,3 +131,23 @@ def test_episode_video_recorder(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="no frames"):
         EpisodeVideoRecorder(10.0).write(str(tmp_path / "x.gif"))
+
+
+def test_objects_sceneset_zero_shot_family():
+    """dataset='objects' (primitive compositions, the OmniObject3D-style
+    zero-shot family) shares conventions with the house generator and runs
+    through the full env step unchanged."""
+    from gennbv_tpu.env.scene import generate_procedural
+
+    cfg = SceneConfig(num_scenes=8, seed=0, dataset="objects")
+    scenes = generate_procedural(cfg, grid_res=24)
+    occ = np.array(scenes.render_occ).reshape(-1, 24, 24, 24)
+    frac = occ.mean(axis=(1, 2, 3))
+    assert (frac > 0.005).all() and (frac < 0.6).all(), frac
+    assert (np.array(scenes.num_valid_voxel) > 0).all()
+
+    env_cfg = _tiny_env_cfg(scene=cfg)
+    env = ReconEnv(env_cfg, make_scenes(cfg, env_cfg.renderer.resolution))
+    state, out = env.reset(4)
+    assert bool(jnp.all(jnp.isfinite(out.obs)))
+    assert float(out.coverage.max()) > 0.0
