@@ -14,6 +14,7 @@ scan-able, and pass ``utils.env_checker.check_env``.
 | VecMonitor             | MonitorWrapper       |
 | VecCheckNan            | CheckNanWrapper      |
 | (gym ClipAction)       | ClipActionWrapper    |
+| noise-scale vector     | ObsNoiseWrapper      |
 
 Obs-flattening (EnvWrapperGenNBVTrain/Eval) has no counterpart because
 ReconEnv emits the flat obs layout natively (spec.py).
@@ -183,6 +184,35 @@ class CheckNanWrapper(_Wrapper):
         invalid = ~jnp.all(jnp.isfinite(out.obs), axis=-1) | ~jnp.isfinite(out.reward)
         return WrapState(state, ()), self.Output(
             out.obs, out.reward, out.done, out.time_out, invalid)
+
+
+class ObsNoiseWrapper(_Wrapper):
+    """Additive observation noise: ``obs += uniform(-1, 1) * noise_vec``.
+
+    The reference's noise-scale vector (drone_robot.py:532-553,
+    LeggedRobotCfg.noise): per-component scales times a global noise_level,
+    defined by the framework and left OFF on the GenNBV path — provided
+    here as a wrapper any robot task can opt into.  `noise_vec` may be a
+    scalar or per-component [obs_dim] array."""
+
+    def __init__(self, env, noise_vec, noise_level: float = 1.0):
+        super().__init__(env)
+        self.noise_vec = jnp.asarray(noise_vec, jnp.float32) * noise_level
+
+    def reset(self, num_envs: int, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        r_env, r_noise, r_carry = jax.random.split(rng, 3)
+        state, out = self._reset_inner(num_envs, r_env)
+        obs = out.obs + self.noise_vec * jax.random.uniform(
+            r_noise, out.obs.shape, minval=-1.0, maxval=1.0)
+        return WrapState(state, r_carry), out._replace(obs=obs)
+
+    def step(self, ws: WrapState, actions):
+        state, out = self.env.step(ws.inner, actions)
+        r_noise, r_carry = jax.random.split(ws.extra)
+        obs = out.obs + self.noise_vec * jax.random.uniform(
+            r_noise, out.obs.shape, minval=-1.0, maxval=1.0)
+        return WrapState(state, r_carry), out._replace(obs=obs)
 
 
 class ClipActionWrapper(_Wrapper):

@@ -42,8 +42,40 @@ def export_policy(model, variables, obs_dim: int, path: str, batch: int = 50):
     return len(blob)
 
 
+def export_recurrent_policy(model, params, obs_dim: int, path: str,
+                            batch: int = 1):
+    """Serialize a recurrent actor (models.RecurrentActorCritic) to
+    StableHLO with the hidden state in the signature:
+    ``(obs, hidden) -> (action_mean, hidden')`` — the counterpart of the
+    reference's PolicyExporterLSTM (helpers.py:741-767), which exports the
+    LSTM with explicit hidden/cell tensors for the same reason."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    # the hidden state crosses the export boundary as plain arrays (jax.export
+    # cannot serialize framework-private pytree node types)
+    h0 = model.initial_state(batch)
+    h_leaves, h_treedef = jax.tree.flatten(h0)
+
+    def infer(obs, *hidden_leaves):
+        hidden = jax.tree.unflatten(h_treedef, hidden_leaves)
+        out, hidden = model.apply({"params": params}, obs, hidden)
+        return (out.mean, *jax.tree.leaves(hidden))
+
+    h_specs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in h_leaves]
+    exported = jexport.export(jax.jit(infer))(
+        jax.ShapeDtypeStruct((batch, obs_dim), jnp.float32), *h_specs
+    )
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
 def load_exported_policy(path: str):
-    """Deserialize a policy written by export_policy; returns a callable."""
+    """Deserialize a policy written by export_policy / export_recurrent_policy;
+    returns a callable."""
     from jax import export as jexport
 
     with open(path, "rb") as f:

@@ -151,3 +151,35 @@ def test_objects_sceneset_zero_shot_family():
     state, out = env.reset(4)
     assert bool(jnp.all(jnp.isfinite(out.obs)))
     assert float(out.coverage.max()) > 0.0
+
+
+def test_export_recurrent_policy_roundtrip(tmp_path):
+    """Recurrent StableHLO export carries the hidden state in the signature
+    (PolicyExporterLSTM counterpart) and matches the live model."""
+    from gennbv_tpu.models.actor_critic import RecurrentActorCritic
+    from gennbv_tpu.train.play import (export_recurrent_policy,
+                                       load_exported_policy)
+
+    model = RecurrentActorCritic(num_actions=3, rnn_hidden=16,
+                                 actor_hidden=(16,), critic_hidden=(16,))
+    obs = jnp.zeros((2, 5))
+    h0 = model.initial_state(2)
+    params = model.init(jax.random.PRNGKey(0), obs, h0)["params"]
+
+    path = str(tmp_path / "rec_policy.stablehlo")
+    n = export_recurrent_policy(model, params, obs_dim=5, path=path, batch=2)
+    assert n > 0
+    fn = load_exported_policy(path)
+
+    rng = jax.random.PRNGKey(1)
+    obs1 = jax.random.normal(rng, (2, 5))
+    h0_leaves = jax.tree.leaves(h0)
+    mean_e, *h_e = fn(obs1, *h0_leaves)
+    out_l, h_l = model.apply({"params": params}, obs1, h0)
+    np.testing.assert_allclose(np.asarray(mean_e), np.asarray(out_l.mean),
+                               rtol=1e-5, atol=1e-6)
+    # second step through the exported hidden state stays consistent
+    mean_e2, *_ = fn(obs1, *h_e)
+    out_l2, _ = model.apply({"params": params}, obs1, h_l)
+    np.testing.assert_allclose(np.asarray(mean_e2), np.asarray(out_l2.mean),
+                               rtol=1e-5, atol=1e-6)

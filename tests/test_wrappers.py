@@ -6,7 +6,7 @@ import numpy as np
 from gennbv_tpu.env.synthetic import PointGoalEnv
 from gennbv_tpu.env.wrappers import (CheckNanWrapper, ClipActionWrapper,
                                      FrameStackWrapper, MonitorWrapper,
-                                     NormalizeWrapper)
+                                     NormalizeWrapper, ObsNoiseWrapper)
 from gennbv_tpu.utils.env_checker import check_env
 
 
@@ -14,7 +14,7 @@ def test_wrappers_pass_env_checker():
     base = PointGoalEnv(dim=2, ep_length=4)
     for wrap in (NormalizeWrapper(base), FrameStackWrapper(base, k=3),
                  MonitorWrapper(base), CheckNanWrapper(base),
-                 ClipActionWrapper(base)):
+                 ClipActionWrapper(base), ObsNoiseWrapper(base, 0.01)):
         check_env(wrap)
 
 
@@ -79,3 +79,27 @@ def test_clip_action_wrapper():
     pos0 = np.asarray(out.obs)
     state, out = env.step(state, jnp.full((2, 1), 100.0))
     np.testing.assert_allclose(np.asarray(out.obs), pos0 + 0.5, rtol=1e-6)
+
+
+def test_obs_noise_wrapper_scale_and_resampling():
+    """Noise is bounded by the per-component vector, zero where the vector
+    is zero, and resampled every step."""
+    base = PointGoalEnv(dim=2, ep_length=8)
+    vec = jnp.zeros(base.obs_dim).at[0].set(0.5)
+    env = ObsNoiseWrapper(base, vec)
+
+    ws, out = env.reset(16, jax.random.PRNGKey(0))
+    a = jnp.zeros((16, base.num_actions))
+    # clean comparison: step the SAME inner state through the bare env
+    _, c1 = base.step(ws.inner, a)
+    ws, o1 = env.step(ws, a)
+    # zero-vec components untouched; noisy component within +-0.5 of clean
+    np.testing.assert_array_equal(np.asarray(o1.obs[:, 1:]),
+                                  np.asarray(c1.obs[:, 1:]))
+    d = np.asarray(o1.obs[:, 0] - c1.obs[:, 0])
+    assert (np.abs(d) <= 0.5).all() and np.abs(d).max() > 0.0
+    # resampled per step: same transition, different noise draw
+    _, c2 = base.step(ws.inner, a)
+    ws, o2 = env.step(ws, a)
+    d2 = np.asarray(o2.obs[:, 0] - c2.obs[:, 0])
+    assert np.abs(d2 - d).max() > 0.0
