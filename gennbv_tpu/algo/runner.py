@@ -181,6 +181,15 @@ class Runner:
             metrics["time/fps"] = steps_per_iter / dt_iter
             metrics["time/iter_seconds"] = dt_iter
             metrics["global_step"] = self.global_step
+            # SB3 logs train/learning_rate each update; recompute the
+            # schedule host-side (ppo.make_optimizer)
+            if cfg.ppo.lr_schedule == "linear":
+                # updates are uniform per iteration, so the decay fraction
+                # equals iteration / total_iters
+                frac = min(self.iteration / max(cfg.ppo.total_iters, 1), 1.0)
+                metrics["train/learning_rate"] = cfg.ppo.learning_rate * (1.0 - frac)
+            else:
+                metrics["train/learning_rate"] = cfg.ppo.learning_rate
 
             # rolling episode stats for best-ckpt selection
             n_ep = metrics.get("rollout/num_episodes", 0.0)

@@ -116,7 +116,6 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from gennbv_tpu.algo import evaluation
-    from gennbv_tpu.algo.ppo import PPOTrainState
     from gennbv_tpu.config import Config, apply_overrides, eval_env_config
     from gennbv_tpu.env import ReconEnv, make_scenes
     from gennbv_tpu.models import distributions, init_policy
@@ -140,12 +139,8 @@ def main(argv=None):
     model, variables = init_policy(cfg.model, jax.random.PRNGKey(0), env.obs_dim)
 
     if args.ckpt:
-        tx_like = PPOTrainState(params=variables["params"],
-                                batch_stats=variables["batch_stats"],
-                                opt_state=None)
         mgr = CheckpointManager(os.path.dirname(os.path.abspath(args.ckpt)))
-        restored = mgr.restore(os.path.basename(args.ckpt), tx_like)
-        variables = {"params": restored.params, "batch_stats": restored.batch_stats}
+        variables = mgr.restore_policy(os.path.basename(args.ckpt))
         print(f"loaded checkpoint {args.ckpt}")
 
     res = evaluation.evaluate(env, model, variables)

@@ -41,6 +41,13 @@ class CheckpointManager:
     def restore(self, name: str, target: Any) -> Any:
         return self._ckpt.restore(self._path(name), target)
 
+    def restore_policy(self, name: str) -> dict:
+        """Restore only the inference variables {params, batch_stats} —
+        for play/eval/export, where no optimizer template exists (a full
+        `restore` requires a target whose opt_state matches the save)."""
+        raw = self._ckpt.restore(self._path(name))
+        return {"params": raw["params"], "batch_stats": raw["batch_stats"]}
+
     def latest_step(self) -> Optional[int]:
         steps = []
         if not os.path.isdir(self.ckpt_dir):

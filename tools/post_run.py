@@ -1,0 +1,123 @@
+"""Post-training report: held-out eval + objects zero-shot + artifacts.
+
+Runs the reference's full eval protocol on a finished run's best-by-eval
+checkpoint (falls back to best-by-train-reward, then latest):
+
+  1. held-out houses (the in-distribution benchmark, 50 scenes x 30 steps)
+  2. dataset='objects' zero-shot transfer (the OmniObject3D analogue)
+  3. artifacts for env 0: episode GIF + reconstruction PLY/OBJ
+
+Usage: python tools/post_run.py runs/<exp>/ [--no-artifacts]
+Prints a compact JSON report and writes it to <run_dir>/report.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
+
+CKPT_PREFERENCE = ("rl_model_best_eval_coverage", "rl_model_best_episode_reward")
+
+
+def pick_checkpoint(models_dir: str) -> str:
+    for name in CKPT_PREFERENCE:
+        if os.path.isdir(os.path.join(models_dir, name)):
+            return name
+    steps = [int(d.split("_")[2]) for d in os.listdir(models_dir)
+             if d.startswith("rl_model_") and d.endswith("_steps")]
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints in {models_dir}")
+    return f"rl_model_{max(steps)}_steps"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dir")
+    ap.add_argument("--no-artifacts", action="store_true")
+    ap.add_argument("--eval_seed", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from gennbv_tpu import spec
+    from gennbv_tpu.algo import evaluation
+    from gennbv_tpu.config import Config, eval_env_config
+    from gennbv_tpu.env import ReconEnv, make_scenes
+    from gennbv_tpu.models import init_policy
+    from gennbv_tpu.utils.checkpoint import CheckpointManager
+
+    run_dir = args.run_dir.rstrip("/")
+    models_dir = os.path.join(run_dir, "models")
+    ckpt_name = pick_checkpoint(models_dir)
+
+    # run config (written by Logger) restores camera/renderer/scene settings
+    with open(os.path.join(run_dir, "config.json")) as f:
+        raw = json.load(f)
+    cfg = Config()
+    env_cfg = eval_env_config(cfg.env)
+    cam = raw.get("env", {}).get("camera", {})
+    ren = raw.get("env", {}).get("renderer", {})
+    scn = raw.get("env", {}).get("scene", {})
+    env_cfg = dataclasses.replace(
+        env_cfg,
+        camera=dataclasses.replace(env_cfg.camera, **{
+            k: v for k, v in cam.items() if hasattr(env_cfg.camera, k)}),
+        renderer=dataclasses.replace(env_cfg.renderer, **{
+            k: v for k, v in ren.items() if hasattr(env_cfg.renderer, k)}),
+    )
+
+    def scene_cfg(dataset: str, seed: int):
+        base = dataclasses.replace(env_cfg.scene, **{
+            k: v for k, v in scn.items()
+            if hasattr(env_cfg.scene, k) and k not in ("num_scenes", "seed", "dataset")})
+        return dataclasses.replace(base, num_scenes=spec.EVAL_NUM_ENVS,
+                                   seed=seed, dataset=dataset)
+
+    model, _ = init_policy(
+        cfg.model, jax.random.PRNGKey(0),
+        env_cfg.pose_buf_len * spec.ACTION_DIM + env_cfg.scene.grid_size ** 3
+        + env_cfg.rgb_k * env_cfg.rgb_h * env_cfg.rgb_w)
+    variables = CheckpointManager(models_dir).restore_policy(ckpt_name)
+
+    report = {"checkpoint": ckpt_name}
+    for tag, dataset, seed in (("held_out_houses", scn.get("dataset", "procedural"), args.eval_seed),
+                               ("objects_zero_shot", "objects", args.eval_seed + 1)):
+        scenes = make_scenes(scene_cfg(dataset, seed), env_cfg.renderer.resolution)
+        env = ReconEnv(dataclasses.replace(env_cfg, scene=scene_cfg(dataset, seed)), scenes)
+        res = evaluation.evaluate(env, model, variables)
+        report[tag] = {
+            "final_coverage": round(res.mean_final_coverage, 4),
+            "mean_AUC": round(res.mean_auc, 4),
+            "mean_accuracy_x100m2": round(res.mean_accuracy_cm, 3),
+            "mean_reward": round(res.mean_reward, 4),
+            "mean_ep_length": round(res.mean_ep_length, 2),
+        }
+        print(f"{tag}: {report[tag]}", flush=True)
+
+    if not args.no_artifacts:
+        from gennbv_tpu.train import play
+        art_dir = os.path.join(run_dir, "artifacts")
+        os.makedirs(art_dir, exist_ok=True)
+        play.main([
+            "--ckpt", os.path.join(models_dir, ckpt_name),
+            "--gif", os.path.join(art_dir, "episode.gif"),
+            "--ply", os.path.join(art_dir, "recon.ply"),
+            "--obj", os.path.join(art_dir, "recon.obj"),
+        ])
+        report["artifacts"] = art_dir
+
+    with open(os.path.join(run_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
