@@ -54,13 +54,13 @@ def main():
 
     # warmup / compile
     ts, env_state, obs, rng, metrics = runner._train_iter(ts, env_state, obs, rng)
-    jax.block_until_ready(metrics["rollout/episode_reward"])
+    jax.block_until_ready(metrics)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         ts, env_state, obs, rng, metrics = runner._train_iter(ts, env_state, obs, rng)
-    jax.block_until_ready(metrics["rollout/episode_reward"])
+    jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters * cfg.ppo.n_steps * num_envs / dt

@@ -28,6 +28,28 @@ from gennbv_tpu.utils.checkpoint import CheckpointManager
 from gennbv_tpu.utils.logger import Logger
 
 
+# fixed order of the per-iteration scalar metrics packed into one device
+# array by _train_iteration (one host fetch instead of one per key)
+_METRIC_KEYS = (
+    "rollout/rew_surface_coverage",
+    "rollout/rew_short_path",
+    "rollout/rew_termination",
+    "rollout/episode_reward",
+    "rollout/episode_length",
+    "rollout/final_coverage",
+    "rollout/collision_rate",
+    "rollout/num_episodes",
+    "rollout/mean_reward_per_step",
+    "train/policy_gradient_loss",
+    "train/value_loss",
+    "train/entropy_loss",
+    "train/approx_kl",
+    "train/clip_fraction",
+    "train/n_minibatches",
+    "train/explained_variance",
+)
+
+
 class Runner:
     def __init__(self, cfg: Config, scenes=None, eval_scenes=None,
                  log_dir: Optional[str] = None, depth_source=None,
@@ -105,7 +127,10 @@ class Runner:
             flat(batch.values), flat(adv), flat(ret), r_upd,
         )
 
-        # rollout metric aggregation (reference extras["episode"] keys)
+        # rollout metric aggregation (reference extras["episode"] keys).
+        # Returned as ONE stacked [K] array: device_get on a dict of K
+        # scalar DeviceArrays fetches leaf-by-leaf — K tunnel round-trips
+        # per iteration on axon-style remote PJRT; one array is one fetch.
         n_done = jnp.maximum(stats.num_dones.sum(), 1.0)
         els = spec.EPISODE_LENGTH_S
         metrics = {
@@ -126,7 +151,9 @@ class Runner:
             "train/n_minibatches": upd.n_minibatches_done,
             "train/explained_variance": upd.explained_variance,
         }
-        return ts, env_state, obs, rng, metrics
+        packed = jnp.stack(
+            [metrics[k].astype(jnp.float32) for k in _METRIC_KEYS])
+        return ts, env_state, obs, rng, packed
 
     # ------------------------------------------------------------------
     def setup(self):
@@ -167,13 +194,13 @@ class Runner:
             with profiling.trace(
                 cfg.runner.profile_dir if it == 1 else None
             ):
-                ts, env_state, obs, self.rng, metrics = self._train_iter(
+                ts, env_state, obs, self.rng, packed = self._train_iter(
                     ts, env_state, obs, self.rng
                 )
-                # ONE host transfer for all metrics: per-key float() costs a
-                # device round-trip each (~18 tunnel syncs/iter, ~5 s on axon)
-                metrics = {k: float(v)
-                           for k, v in jax.device_get(metrics).items()}
+                # ONE host transfer for all metrics: device_get on a dict of
+                # scalars fetches leaf-by-leaf (one tunnel round-trip each)
+                vals = np.asarray(jax.device_get(packed))
+                metrics = {k: float(v) for k, v in zip(_METRIC_KEYS, vals)}
             dt_iter = time.time() - t0
             self.global_step += steps_per_iter
             self.iteration += 1
@@ -204,10 +231,12 @@ class Runner:
             if self.eval_env is not None and cfg.runner.eval_freq > 0 and (
                 self.iteration % cfg.runner.eval_freq == 0
             ):
+                t_eval = time.time()
                 res = evaluation.evaluate(
                     self.eval_env, self.model,
                     {"params": ts.params, "batch_stats": ts.batch_stats},
                 )
+                metrics["time/eval_seconds"] = time.time() - t_eval
                 metrics.update({
                     "eval/mean_reward": res.mean_reward,
                     "eval/mean_AUC": res.mean_auc,

@@ -99,12 +99,12 @@ def main():
     env_state2, obs2 = runner.setup()
     ts3, env_state2, obs2, rng, metrics = runner._train_iter(
         runner.train_state, env_state2, obs2, runner.rng)
-    jax.block_until_ready(metrics["rollout/episode_reward"])
+    jax.block_until_ready(metrics)
     t1 = t("fused train iter compile+exec #1", t1)
     for _ in range(3):
         ts3, env_state2, obs2, rng, metrics = runner._train_iter(
             ts3, env_state2, obs2, rng)
-    jax.block_until_ready(metrics["rollout/episode_reward"])
+    jax.block_until_ready(metrics)
     dt = time.perf_counter() - t1
     sps = 3 * cfg.ppo.n_steps * num_envs / dt
     t(f"fused train iter x3 steady-state -> {sps:,.0f} env-steps/s", t1)
