@@ -188,7 +188,10 @@ class Runner:
         steps_per_iter = cfg.ppo.n_steps * cfg.env.num_envs
         last_metrics = {}
 
-        for it in range(num_iterations):
+        # num_iterations is a TOTAL (reference total_timesteps semantics):
+        # a resumed run (restore() set self.iteration) does the remainder,
+        # keeping the LR schedule and iteration-indexed logging aligned
+        for it in range(max(num_iterations - self.iteration, 0)):
             t0 = time.time()
             # profile the 2nd iteration (post-compile) when requested
             with profiling.trace(

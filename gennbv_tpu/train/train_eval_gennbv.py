@@ -31,6 +31,9 @@ def main(argv=None):
     eval_scenes = make_scenes(eval_scene_cfg, cfg.env.renderer.resolution)
 
     runner = Runner(cfg, eval_scenes=eval_scenes)
+    if args.resume:
+        step = runner.restore(args.resume)
+        print(f"resumed from {args.resume} at step {step}")
     try:
         metrics = runner.train(cfg.ppo.total_iters)
         print("final:", {k: round(v, 4) for k, v in metrics.items()})
