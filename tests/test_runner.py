@@ -118,8 +118,14 @@ def test_resume_from_checkpoint(tmp_path):
     a = jax.tree.leaves(r1.train_state.params)[0]
     b = jax.tree.leaves(r2.train_state.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    m = r2.train(1, log=False)
-    assert all(np.isfinite(v) for v in m.values())
+    # num_iterations is a TOTAL: restored at iteration 2, train(3) runs
+    # exactly one more (reference total_timesteps semantics)
+    m = r2.train(3, log=False)
+    assert r2.iteration == 3
+    assert m and all(np.isfinite(v) for v in m.values())
+    # already past the target -> no-op
+    assert r2.train(1, log=False) == {}
+    assert r2.iteration == 3
 
     # missing dir -> clear error
     import pytest
