@@ -133,12 +133,15 @@ def sample_relabeled(buf: EpisodeBuffer, rng: jax.Array, batch_size: int,
 
     # a transition whose obs index sits right after an in-round done has the
     # PREVIOUS episode's pre-reset terminal obs (stale) — shift forward
-    # within the new segment (two hops covers consecutive 1-step episodes)
+    # within the new segment (two hops covers consecutive 1-step episodes);
+    # any index still stale (done at T-2 clamps the shift, or 3+ one-step
+    # episodes in a row) falls back to t=0, which is always valid
     def stale(tt):
         return (tt > 0) & (buf.done[ep, jnp.maximum(tt - 1, 0)] > 0.5)
 
     t = jnp.where(stale(t), jnp.minimum(t + 1, t_len - 1), t)
     t = jnp.where(stale(t), jnp.minimum(t + 1, t_len - 1), t)
+    t = jnp.where(stale(t), 0, t)
 
     seg_end = buf.seg_end[ep, t]                     # last transition of t's episode
     # future achieved-goal obs index in (t, seg_end + 1] (obs seg_end+1 is
@@ -167,8 +170,9 @@ def sample_relabeled(buf: EpisodeBuffer, rng: jax.Array, batch_size: int,
 
 
 class HERRunner:
-    """Off-policy training with HER relabeling on a goal-conditioned env
-    with fixed-length episodes."""
+    """Off-policy training with HER relabeling on a goal-conditioned env.
+    Episodes may terminate early inside the fixed-length collection round
+    (auto-reset); relabeling stays within episode segments."""
 
     def __init__(self, env, off_cfg: OffPolicyConfig, her_cfg: HERConfig,
                  num_envs: int, capacity_episodes: int = 1024, seed: int = 0,

@@ -47,7 +47,20 @@ _METRIC_KEYS = (
     "train/clip_fraction",
     "train/n_minibatches",
     "train/explained_variance",
+    "train/learning_rate",
 )
+
+
+def _opt_update_count(opt_state) -> jnp.ndarray:
+    """Adam's applied-update count from the optimizer state (first 'count'
+    leaf).  This is the schedule index: KL early stop discards the whole
+    candidate opt_state (ppo.update), so skipped minibatches do not advance
+    it — iteration-based estimates of the LR would drift."""
+    counts = [
+        leaf for path, leaf in jax.tree_util.tree_leaves_with_path(opt_state)
+        if any(getattr(k, "name", None) == "count" for k in path)
+    ]
+    return counts[0] if counts else jnp.asarray(0, jnp.int32)
 
 
 class Runner:
@@ -151,6 +164,18 @@ class Runner:
             "train/n_minibatches": upd.n_minibatches_done,
             "train/explained_variance": upd.explained_variance,
         }
+        # SB3 logs train/learning_rate each update; evaluate the schedule at
+        # Adam's actual count (make_optimizer's linear_schedule total)
+        if cfg.lr_schedule == "linear":
+            total_updates = cfg.n_epochs * max(cfg.total_iters, 1) * max(
+                (cfg.n_steps * self.cfg.env.num_envs) // max(cfg.batch_size, 1), 1)
+            frac = jnp.clip(
+                _opt_update_count(ts.opt_state).astype(jnp.float32)
+                / total_updates, 0.0, 1.0)
+            metrics["train/learning_rate"] = cfg.learning_rate * (1.0 - frac)
+        else:
+            metrics["train/learning_rate"] = jnp.asarray(
+                cfg.learning_rate, jnp.float32)
         packed = jnp.stack(
             [metrics[k].astype(jnp.float32) for k in _METRIC_KEYS])
         return ts, env_state, obs, rng, packed
@@ -211,15 +236,6 @@ class Runner:
             metrics["time/fps"] = steps_per_iter / dt_iter
             metrics["time/iter_seconds"] = dt_iter
             metrics["global_step"] = self.global_step
-            # SB3 logs train/learning_rate each update; recompute the
-            # schedule host-side (ppo.make_optimizer)
-            if cfg.ppo.lr_schedule == "linear":
-                # updates are uniform per iteration, so the decay fraction
-                # equals iteration / total_iters
-                frac = min(self.iteration / max(cfg.ppo.total_iters, 1), 1.0)
-                metrics["train/learning_rate"] = cfg.ppo.learning_rate * (1.0 - frac)
-            else:
-                metrics["train/learning_rate"] = cfg.ppo.learning_rate
 
             # rolling episode stats for best-ckpt selection
             n_ep = metrics.get("rollout/num_episodes", 0.0)

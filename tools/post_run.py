@@ -72,6 +72,12 @@ def main(argv=None):
             k: v for k, v in cam.items() if hasattr(env_cfg.camera, k)}),
         renderer=dataclasses.replace(env_cfg.renderer, **{
             k: v for k, v in ren.items() if hasattr(env_cfg.renderer, k)}),
+        # top-level env scalars (rgb_k/h/w, pose_buf_len, ...) — but keep
+        # the eval protocol fields eval_env_config just set
+        **{k: v for k, v in raw.get("env", {}).items()
+           if isinstance(v, (int, float, str, bool))
+           and hasattr(env_cfg, k)
+           and k not in ("num_envs", "max_episode_length")},
     )
 
     def scene_cfg(dataset: str, seed: int):
@@ -106,12 +112,22 @@ def main(argv=None):
         from gennbv_tpu.train import play
         art_dir = os.path.join(run_dir, "artifacts")
         os.makedirs(art_dir, exist_ok=True)
+        # forward the run's env settings so the playback env matches the
+        # checkpoint (play.main would otherwise build the default Config)
+        overrides = []
+        for section in ("camera", "renderer", "scene"):
+            for k, v in raw.get("env", {}).get(section, {}).items():
+                if isinstance(v, (int, float, str, bool)):
+                    overrides += ["--set", f"env.{section}.{k}={v}"]
+        for k, v in raw.get("env", {}).items():
+            if isinstance(v, (int, float, str, bool)) and k != "num_envs":
+                overrides += ["--set", f"env.{k}={v}"]
         play.main([
             "--ckpt", os.path.join(models_dir, ckpt_name),
             "--gif", os.path.join(art_dir, "episode.gif"),
             "--ply", os.path.join(art_dir, "recon.ply"),
             "--obj", os.path.join(art_dir, "recon.obj"),
-        ])
+        ] + overrides)
         report["artifacts"] = art_dir
 
     with open(os.path.join(run_dir, "report.json"), "w") as f:

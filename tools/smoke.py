@@ -21,11 +21,16 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CPU_ENV = {
-    "PALLAS_AXON_POOL_IPS": "",
-    "JAX_PLATFORMS": "cpu",
-    "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
-}
+def cpu_env() -> dict:
+    """CPU-mesh env overrides, appending to (not clobbering) XLA_FLAGS."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    return {
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": flags,
+    }
 
 
 def run(name: str, cmd: list[str], env_extra: dict | None = None,
@@ -60,11 +65,11 @@ def main() -> int:
         "--set", "env.renderer.resolution=16",
         "--set", "env.scene.num_scenes=4",
         "--set", "ppo.n_steps=4", "--set", "ppo.batch_size=16",
-    ], CPU_ENV)
+    ], cpu_env())
     ok &= run("dryrun_multichip(8)", [
         sys.executable, "-c",
         "import __graft_entry__ as g; g.dryrun_multichip(8)",
-    ], CPU_ENV)
+    ], cpu_env())
     if args.tpu:
         ok &= run("bench.py (real TPU)", [sys.executable, "bench.py"],
                   {"JAX_COMPILATION_CACHE_DIR": os.path.join(ROOT, ".jax_cache")},
