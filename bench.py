@@ -2,8 +2,10 @@
 
 Measures env-steps/sec of the FULL training iteration — on-device depth
 rendering, occupancy mapping, reward, GAE, and the 5-epoch minibatched PPO
-update — at 256 vectorized envs (the reference's single-A100 configuration,
-gennbv/train/train_gennbv.py:117).
+update — at 256 vectorized envs (the reference's single-A100 env count,
+gennbv/train/train_gennbv.py:117) with the tuned 128x128 camera (the
+reference trains at 400x400; see BENCHMARKS.md for both configurations —
+the policy-visible observation is identical at either resolution).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "env_steps_per_sec", "vs_baseline": N}

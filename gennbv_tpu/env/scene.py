@@ -146,7 +146,8 @@ def _gen_house(rng: np.random.RandomState, res: int, box_lo: np.ndarray,
     # footprints need views from inside the notch, not just an orbit)
     plan = rng.choice(["rect", "L", "T", "U"], p=[0.5, 0.2, 0.15, 0.15])
     wing_h = h * rng.uniform(0.6, 1.0)
-    ww = rng.uniform(1.2, 0.45 * w)      # wing width (along x)
+    ww = rng.uniform(0.8, 0.45 * w)      # wing width (along x; 0.45*w > 0.8
+                                         # for the whole w range, so lo < hi)
     wd = rng.uniform(1.5, 3.0)           # wing protrusion (along y)
     wy = rng.choice([-1.0, 1.0])         # which side the wings stick out
     if plan in ("L", "U"):
@@ -548,7 +549,7 @@ def _cache_path(cfg: SceneConfig, grid_res: int) -> str:
     import hashlib
     import os
     key = hashlib.sha1(
-        repr((dataclasses.astuple(cfg), grid_res, 4)).encode()).hexdigest()[:16]
+        repr((dataclasses.astuple(cfg), grid_res, 5)).encode()).hexdigest()[:16]
     root = os.environ.get("GENNBV_SCENE_CACHE",
                           os.path.join(os.path.expanduser("~"), ".cache",
                                        "gennbv_tpu"))
