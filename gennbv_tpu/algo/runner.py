@@ -251,18 +251,24 @@ class Runner:
                 self.iteration % cfg.runner.eval_freq == 0
             ):
                 t_eval = time.time()
+                # skip the chamfer accuracy during in-train evals: the
+                # host-side per-env NN loop costs ~70 s per eval (4x the
+                # iteration itself at the tuned camera); tools/post_run.py
+                # reports it for the final checkpoints
                 res = evaluation.evaluate(
                     self.eval_env, self.model,
                     {"params": ts.params, "batch_stats": ts.batch_stats},
+                    compute_accuracy=False,
                 )
                 metrics["time/eval_seconds"] = time.time() - t_eval
                 metrics.update({
                     "eval/mean_reward": res.mean_reward,
                     "eval/mean_AUC": res.mean_auc,
-                    "eval/mean_accuracy": res.mean_accuracy_cm,
                     "eval/mean_ep_length": res.mean_ep_length,
                     "eval/final_coverage": res.mean_final_coverage,
                 })
+                if np.isfinite(res.mean_accuracy_cm):
+                    metrics["eval/mean_accuracy"] = res.mean_accuracy_cm
                 # best-by-held-out-eval checkpoint (the reference's
                 # EvalCallback best_model, callbacks.py:685-693) — the
                 # model to ship when train-scene reward overfits
