@@ -40,6 +40,13 @@ def main(argv=None):
     ap.add_argument("run_dir")
     ap.add_argument("--no-artifacts", action="store_true")
     ap.add_argument("--eval_seed", type=int, default=100)
+    ap.add_argument("--eval_cam", type=int, default=0,
+                    help="evaluate under this camera resolution instead of "
+                         "the run's training camera (0 = run's). Policies "
+                         "trained at a cheap camera score their true "
+                         "coverage only under a high-fidelity sensor — a "
+                         "128-trained policy measured +7.7 points going "
+                         "128 -> 400 (BENCHMARKS.md).")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -79,6 +86,10 @@ def main(argv=None):
            and hasattr(env_cfg, k)
            and k not in ("num_envs", "max_episode_length")},
     )
+    if args.eval_cam:
+        env_cfg = dataclasses.replace(
+            env_cfg, camera=dataclasses.replace(
+                env_cfg.camera, height=args.eval_cam, width=args.eval_cam))
 
     def scene_cfg(dataset: str, seed: int):
         base = dataclasses.replace(env_cfg.scene, **{
@@ -122,6 +133,9 @@ def main(argv=None):
         for k, v in raw.get("env", {}).items():
             if isinstance(v, (int, float, str, bool)) and k != "num_envs":
                 overrides += ["--set", f"env.{k}={v}"]
+        if args.eval_cam:  # appended last: later --set wins
+            overrides += ["--set", f"env.camera.height={args.eval_cam}",
+                          "--set", f"env.camera.width={args.eval_cam}"]
         play.main([
             "--ckpt", os.path.join(models_dir, ckpt_name),
             "--gif", os.path.join(art_dir, "episode.gif"),
