@@ -79,8 +79,14 @@ class Runner:
         self.env = ReconEnv(cfg.env, self.scenes, depth_source)
         self.eval_env = None
         if eval_scenes is not None:
-            self.eval_env = ReconEnv(eval_env_config(cfg.env), eval_scenes,
-                                     eval_depth_source)
+            ev_cfg = eval_env_config(cfg.env)
+            if cfg.runner.eval_camera:
+                ev_cfg = dataclasses.replace(
+                    ev_cfg, camera=dataclasses.replace(
+                        ev_cfg.camera,
+                        height=cfg.runner.eval_camera,
+                        width=cfg.runner.eval_camera))
+            self.eval_env = ReconEnv(ev_cfg, eval_scenes, eval_depth_source)
 
         self.model, variables = init_policy(cfg.model, model_rng, self.env.obs_dim)
         self.tx = ppo.make_optimizer(cfg.ppo, cfg.env.num_envs)

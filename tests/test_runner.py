@@ -131,3 +131,28 @@ def test_resume_from_checkpoint(tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError, match="rl_model"):
         r2.restore(str(tmp_path / "nope"))
+
+
+def test_eval_camera_override(tmp_path):
+    """runner.eval_camera evaluates under a different sensor resolution than
+    the training camera (checkpoint selection at deployment fidelity)."""
+    from gennbv_tpu.algo.runner import Runner
+    from gennbv_tpu.config import (CameraConfig, Config, EnvConfig, PPOConfig,
+                                   RendererConfig, RunnerConfig, SceneConfig)
+    from gennbv_tpu.env import make_scenes
+
+    cfg = Config(
+        env=EnvConfig(num_envs=4, camera=CameraConfig(height=16, width=16),
+                      renderer=RendererConfig(resolution=16),
+                      scene=SceneConfig(num_scenes=2, seed=0),
+                      max_episode_length=4),
+        ppo=PPOConfig(n_steps=4, batch_size=8, n_epochs=1, total_iters=1),
+        runner=RunnerConfig(seed=0, save_freq=0, num_devices=1,
+                            eval_freq=1, eval_camera=32),
+    )
+    eval_scenes = make_scenes(SceneConfig(num_scenes=2, seed=9), 16)
+    r = Runner(cfg, eval_scenes=eval_scenes, log_dir=str(tmp_path / "run"))
+    assert r.eval_env.cfg.camera.height == 32
+    assert r.env.cfg.camera.height == 16
+    m = r.train(1, log=False)
+    assert "eval/final_coverage" in m and np.isfinite(m["eval/final_coverage"])
