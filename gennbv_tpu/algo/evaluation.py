@@ -40,9 +40,12 @@ class EvalResult(NamedTuple):
     per_env_auc: np.ndarray
 
 
-def _eval_scan(env, model, variables, env_state, obs, point_stride: int):
+def _eval_scan(env, model, variables, env_state, obs, point_stride: int,
+               with_points: bool = True):
     """Runs max_len steps; returns stacked per-step (reward, done, coverage)
-    plus strided scan points for the accuracy metric."""
+    plus strided scan points for the accuracy metric (with_points=False
+    skips the extra per-step render + the [T, N, S, 3] output entirely —
+    jit cannot dead-code-eliminate returned arrays)."""
     max_len = env.cfg.max_episode_length
     h, w = env.cfg.camera.height, env.cfg.camera.width
     sub_rays = env.cam_rays.reshape(h, w, 3)[::point_stride, ::point_stride].reshape(-1, 3)
@@ -71,7 +74,10 @@ def _eval_scan(env, model, variables, env_state, obs, point_stride: int):
             fresh, env.init_action.astype(jnp.float32) * env.action_unit + env.pose_low,
             poses,
         )
-        pts, valid = jax.vmap(acc_points_one)(env_state.scene_id, poses)
+        if with_points:
+            pts, valid = jax.vmap(acc_points_one)(env_state.scene_id, poses)
+        else:
+            pts = valid = jnp.zeros((), jnp.float32)
         env_state, step_out = env.step(env_state, actions)
         rec = (step_out.reward, step_out.done, step_out.coverage, pts, valid)
         return (env_state, step_out.obs), rec
@@ -112,14 +118,17 @@ def evaluate(env, model, variables, point_stride: int = 8,
     env_state, reset_out = env.reset(n)
     obs = reset_out.obs
     rewards, dones, coverage, pts, valid = jax.jit(
-        lambda s, o: _eval_scan(env, model, variables, s, o, point_stride)
+        lambda s, o: _eval_scan(env, model, variables, s, o, point_stride,
+                                with_points=compute_accuracy)
     )(env_state, obs)
 
-    # the reset step's forced top-down view also scans the scene
-    # (env_eval_gennbv.py:108-129): capture its points for the accuracy metric
-    init_pts, init_valid = jax.jit(
-        lambda s: _init_points(env, s, point_stride)
-    )(env_state.scene_id)
+    if compute_accuracy:
+        # the reset step's forced top-down view also scans the scene
+        # (env_eval_gennbv.py:108-129): capture its points for the accuracy
+        # metric
+        init_pts, init_valid = jax.jit(
+            lambda s: _init_points(env, s, point_stride)
+        )(env_state.scene_id)
 
     rewards = np.array(rewards)      # [T, N]
     dones = np.array(dones)

@@ -19,7 +19,8 @@ import numpy as np
 
 from gennbv_tpu import spec
 from gennbv_tpu.algo import evaluation, gae, ppo, rollout
-from gennbv_tpu.config import Config, config_to_dict, eval_env_config
+from gennbv_tpu.config import (Config, config_to_dict, eval_env_config,
+                               with_camera)
 from gennbv_tpu.env import ReconEnv, make_scenes
 from gennbv_tpu.models import init_policy
 from gennbv_tpu.parallel import mesh as mesh_lib
@@ -81,11 +82,12 @@ class Runner:
         if eval_scenes is not None:
             ev_cfg = eval_env_config(cfg.env)
             if cfg.runner.eval_camera:
-                ev_cfg = dataclasses.replace(
-                    ev_cfg, camera=dataclasses.replace(
-                        ev_cfg.camera,
-                        height=cfg.runner.eval_camera,
-                        width=cfg.runner.eval_camera))
+                if cfg.env.renderer.mode in ("replay", "callback"):
+                    raise ValueError(
+                        "runner.eval_camera is incompatible with renderer "
+                        f"mode {cfg.env.renderer.mode!r}: the external depth "
+                        "feed is recorded at the training camera resolution")
+                ev_cfg = with_camera(ev_cfg, cfg.runner.eval_camera)
             self.eval_env = ReconEnv(ev_cfg, eval_scenes, eval_depth_source)
 
         self.model, variables = init_policy(cfg.model, model_rng, self.env.obs_dim)
@@ -257,14 +259,14 @@ class Runner:
                 self.iteration % cfg.runner.eval_freq == 0
             ):
                 t_eval = time.time()
-                # skip the chamfer accuracy during in-train evals: the
-                # host-side per-env NN loop costs ~70 s per eval (4x the
-                # iteration itself at the tuned camera); tools/post_run.py
+                # chamfer accuracy defaults OFF during in-train evals (the
+                # point accumulation + host NN loop cost ~70 s per eval, 4x
+                # the iteration itself at the tuned camera); post_run
                 # reports it for the final checkpoints
                 res = evaluation.evaluate(
                     self.eval_env, self.model,
                     {"params": ts.params, "batch_stats": ts.batch_stats},
-                    compute_accuracy=False,
+                    compute_accuracy=cfg.runner.eval_accuracy,
                 )
                 metrics["time/eval_seconds"] = time.time() - t_eval
                 metrics.update({

@@ -88,6 +88,14 @@ class EnvConfig:
     scene: SceneConfig = field(default_factory=SceneConfig)
 
 
+def with_camera(env_cfg: EnvConfig, resolution: int) -> EnvConfig:
+    """env_cfg with a square camera of the given resolution (the shared
+    sensor-override used by runner.eval_camera and post_run --eval_cam)."""
+    return dataclasses.replace(
+        env_cfg, camera=dataclasses.replace(
+            env_cfg.camera, height=resolution, width=resolution))
+
+
 def eval_env_config(train_cfg: EnvConfig) -> EnvConfig:
     """The eval-env variant (config_gennbv_eval.py:6-14 +
     env_eval_gennbv check_termination): 30-step episodes, only the
@@ -152,6 +160,9 @@ class RunnerConfig:
     # selection honest by evaluating at the deployment sensor
     # (BENCHMARKS.md: 128-trained policy scores 0.9157@128 vs 0.9924@400)
     eval_camera: int = 0
+    # compute the chamfer accuracy metric during in-train evals (costs ~70s
+    # per eval at the tuned camera; post_run reports it regardless)
+    eval_accuracy: bool = False
     eval_n_episodes: int = spec.EVAL_N_EPISODES
     best_metric: str = "episode_reward"   # gennbv/callback.py:25-70
     wandb: bool = False

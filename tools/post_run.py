@@ -56,7 +56,7 @@ def main(argv=None):
 
     from gennbv_tpu import spec
     from gennbv_tpu.algo import evaluation
-    from gennbv_tpu.config import Config, eval_env_config
+    from gennbv_tpu.config import Config, eval_env_config, with_camera
     from gennbv_tpu.env import ReconEnv, make_scenes
     from gennbv_tpu.models import init_policy
     from gennbv_tpu.utils.checkpoint import CheckpointManager
@@ -87,9 +87,7 @@ def main(argv=None):
            and k not in ("num_envs", "max_episode_length")},
     )
     if args.eval_cam:
-        env_cfg = dataclasses.replace(
-            env_cfg, camera=dataclasses.replace(
-                env_cfg.camera, height=args.eval_cam, width=args.eval_cam))
+        env_cfg = with_camera(env_cfg, args.eval_cam)
 
     def scene_cfg(dataset: str, seed: int):
         base = dataclasses.replace(env_cfg.scene, **{
