@@ -80,11 +80,15 @@ def main(argv=None):
         renderer=dataclasses.replace(env_cfg.renderer, **{
             k: v for k, v in ren.items() if hasattr(env_cfg.renderer, k)}),
         # top-level env scalars (rgb_k/h/w, pose_buf_len, ...) — but keep
-        # the eval protocol fields eval_env_config just set
+        # the eval protocol fields eval_env_config just set: episode cap,
+        # env count, and NO coverage termination (the reference eval drops
+        # it, env_eval_gennbv.py:338-351 — restoring the train threshold
+        # here truncated eval episodes at ~4 steps)
         **{k: v for k, v in raw.get("env", {}).items()
            if isinstance(v, (int, float, str, bool))
            and hasattr(env_cfg, k)
-           and k not in ("num_envs", "max_episode_length")},
+           and k not in ("num_envs", "max_episode_length",
+                         "coverage_done_threshold")},
     )
     if args.eval_cam:
         env_cfg = with_camera(env_cfg, args.eval_cam)
