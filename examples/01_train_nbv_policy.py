@@ -4,6 +4,11 @@ Production settings are the defaults (`python -m gennbv_tpu.train.train_gennbv`
 with no flags = the reference's 256-env configuration); this example shrinks
 everything so it finishes in ~1 minute on CPU.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from gennbv_tpu.algo.runner import Runner
 from gennbv_tpu.config import (CameraConfig, Config, EnvConfig, PPOConfig,
                                RendererConfig, RunnerConfig, SceneConfig)

@@ -5,6 +5,11 @@ one-liner training with: PPO (adaptive-KL, rsl_rl-style), A2C, SAC, TD3,
 DDPG, DQN, recurrent PPO, and HER — the full family the reference ships
 via its SB3 fork, re-designed for TPU.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 from gennbv_tpu.algo import ppo_continuous as ppoc

@@ -5,6 +5,11 @@ Two modes (env/depth_sources.py):
 - a live host-callback bridge (plug in any external simulator/renderer:
   the host function gets (scene_ids, poses) and returns depth frames).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 
