@@ -92,12 +92,12 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
     vf = valid.astype(jnp.float32)
 
     def encoded_min(d_digit, mask):
+        # w is 0 or an exact power of two (2^-s*digit, s*digit <= 108 well
+        # inside bf16's exponent range), so single-plane bf16 is EXACT —
+        # a hi/lo split's lo plane would be identically zero
         w = jnp.exp2(-s * d_digit) * mask                        # [Q] f32
-        whi, wlo = _split_bf16(w)
-        m = (jnp.dot(ohv.T * whi[None, :], ohu,
-                     preferred_element_type=jnp.float32)
-             + jnp.dot(ohv.T * wlo[None, :], ohu,
-                       preferred_element_type=jnp.float32))      # [V, U]
+        m = jnp.dot(ohv.T * w.astype(jnp.bfloat16)[None, :], ohu,
+                    preferred_element_type=jnp.float32)          # [V, U]
         have = m > 0.0
         digit = jnp.ceil(-jnp.log2(jnp.maximum(m, 1e-38)) / s)
         digit = jnp.clip(digit, 0, d_levels - 1)
