@@ -52,10 +52,31 @@ def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
     return jnp.where(ohu, tmp, 0.0).sum(-1)
 
 
+def pixel_onehots(vi: jnp.ndarray, ui: jnp.ndarray, height: int,
+                  width: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """bf16 one-hot row/column matrices for per-point pixel ops — build once
+    and share between scatter_min_image and gather_image_oh."""
+    ohv = (vi[:, None] == jnp.arange(height, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16)                                            # [Q, V]
+    ohu = (ui[:, None] == jnp.arange(width, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16)                                            # [Q, U]
+    return ohv, ohu
+
+
+def gather_image_oh(img: jnp.ndarray, ohv: jnp.ndarray,
+                    ohu: jnp.ndarray) -> jnp.ndarray:
+    """img[vi, ui] via precomputed one-hots (single-plane bf16: for slack
+    comparisons; see gather_image for the exact hi/lo variant)."""
+    tmp = jnp.dot(ohv, img.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)            # [Q, U]
+    return jnp.where(ohu > 0, tmp, 0.0).sum(-1)
+
+
 def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
                       valid: jnp.ndarray, height: int, width: int,
                       z_default: float, levels: int = 10,
-                      spacing_bits: int = 12) -> jnp.ndarray:
+                      spacing_bits: int = 12,
+                      onehots: tuple | None = None) -> jnp.ndarray:
     """Per-pixel min of z over points — WITHOUT a scatter.
 
     XLA's scatter-min lowering costs ~30 ms at 256 envs x 11k points
@@ -85,10 +106,8 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
     d1 = jnp.floor(t)
     d2 = jnp.floor((t - d1) * d_levels)
 
-    ohv = (vi[:, None] == jnp.arange(height, dtype=jnp.int32)[None, :]).astype(
-        jnp.bfloat16)                                            # [Q, V]
-    ohu = (ui[:, None] == jnp.arange(width, dtype=jnp.int32)[None, :]).astype(
-        jnp.bfloat16)                                            # [Q, U]
+    ohv, ohu = onehots if onehots is not None else pixel_onehots(
+        vi, ui, height, width)
     vf = valid.astype(jnp.float32)
 
     def encoded_min(d_digit, mask):

@@ -59,13 +59,16 @@ def splat_depth(
     ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
     vic = jnp.clip(vi, 0, height - 1)
     uic = jnp.clip(ui, 0, width - 1)
+    oh = None
     if zbuf_impl == "mxu":
         # radix-min via MXU matmuls (ops/mxu.py): ~6x faster than XLA's
         # scatter-min lowering at training scale; zbuf quantized to 100
         # levels of the per-frame z range; the quantization step widens the
-        # visibility slack below
+        # visibility slack below.  One-hots are built once and shared with
+        # the visibility gather (same clipped pixel indices).
+        oh = mxu.pixel_onehots(vic, uic, height, width)
         zbuf0, quant = mxu.scatter_min_image(
-            vic, uic, z, ok, height, width, depth_max)
+            vic, uic, z, ok, height, width, depth_max, onehots=oh)
         voxel_eps = voxel_eps + quant
     else:
         flat = vic * width + uic
@@ -97,9 +100,10 @@ def splat_depth(
     # and bf16's absolute error at scene depths (<= 16 m) is <= 0.0625 m —
     # the hi/lo exact split costs a second matmul (5.3 -> 2.8 ms measured).
     center_ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
-    z_at_px = mxu.gather_image(
-        zbuf.reshape(height, width),
-        jnp.clip(vi, 0, height - 1), jnp.clip(ui, 0, width - 1),
-        exact=False)
+    if oh is not None:
+        z_at_px = mxu.gather_image_oh(zbuf.reshape(height, width), *oh)
+    else:
+        z_at_px = mxu.gather_image(
+            zbuf.reshape(height, width), vic, uic, exact=False)
     visible = center_ok & (z <= z_at_px + voxel_eps)
     return zbuf, fg, visible
