@@ -8,6 +8,7 @@ with env-axis sharding.  Only scalar metrics return to host.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import time
 from collections import deque
@@ -285,6 +286,7 @@ class Runner:
                 ):
                     self._best_eval = res.mean_final_coverage
                     self.ckpt.save_best("eval_coverage", ts)
+                    self._save_runner_state()
 
             if self.logger is not None:
                 self.logger.log(metrics, self.iteration)
@@ -294,10 +296,12 @@ class Runner:
                 self.iteration % cfg.runner.save_freq == 0
             ):
                 self.ckpt.save_step(self.global_step, ts)
+                self._save_runner_state()
             roll = metrics.get("rollout/episode_reward_rolling", -float("inf"))
             if self.ckpt is not None and roll > self._best_metric:
                 self._best_metric = roll
                 self.ckpt.save_best(cfg.runner.best_metric, ts)
+                self._save_runner_state()
 
             last_metrics = metrics
 
@@ -307,6 +311,25 @@ class Runner:
         return last_metrics
 
     # ------------------------------------------------------------------
+    def _save_runner_state(self):
+        """Persist the best-checkpoint trackers + rolling episode stats next
+        to the checkpoints, so a resumed run cannot clobber a better
+        rl_model_best_* with its first (worse) post-resume candidate."""
+        if self.ckpt is None:
+            return
+        state = {
+            "best_metric": self._best_metric,
+            "best_eval": self._best_eval,
+            "rew_buffer": list(self._rew_buffer),
+            "len_buffer": list(self._len_buffer),
+            "global_step": self.global_step,
+        }
+        path = os.path.join(self.ckpt.ckpt_dir, "runner_state.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
     def restore(self, models_dir: str) -> int:
         """Resume {params, batch_stats, opt_state} from the latest
         rl_model_<steps>_steps checkpoint in `models_dir` (the reference's
@@ -321,6 +344,16 @@ class Runner:
         self.train_state = mgr.restore(f"rl_model_{step}_steps", self.train_state)
         self.global_step = step
         self.iteration = step // (self.cfg.ppo.n_steps * self.cfg.env.num_envs)
+        # best-tracker + rolling-stat state (absent in pre-round-2 runs:
+        # fall back to the old restart-at--inf behaviour)
+        rs_path = os.path.join(models_dir, "runner_state.json")
+        if os.path.exists(rs_path):
+            with open(rs_path) as f:
+                rs = json.load(f)
+            self._best_metric = rs.get("best_metric", -float("inf"))
+            self._best_eval = rs.get("best_eval", -float("inf"))
+            self._rew_buffer.extend(rs.get("rew_buffer", []))
+            self._len_buffer.extend(rs.get("len_buffer", []))
         return step
 
     def variables(self):

@@ -133,6 +133,55 @@ def test_resume_from_checkpoint(tmp_path):
         r2.restore(str(tmp_path / "nope"))
 
 
+def test_resume_restores_best_trackers(tmp_path):
+    """A resumed run must not clobber rl_model_best_* with a worse first
+    post-resume value: _best_metric/_best_eval and the rolling reward buffer
+    persist through runner_state.json (VERDICT round-1 weak #7)."""
+    import json as json_lib
+
+    import numpy as np
+    from gennbv_tpu.algo.runner import Runner
+    from gennbv_tpu.config import (CameraConfig, Config, EnvConfig, PPOConfig,
+                                   RendererConfig, RunnerConfig, SceneConfig)
+
+    def mk():
+        return Config(
+            env=EnvConfig(num_envs=4, camera=CameraConfig(height=16, width=16),
+                          renderer=RendererConfig(resolution=16),
+                          scene=SceneConfig(num_scenes=2, seed=0),
+                          max_episode_length=4),
+            ppo=PPOConfig(n_steps=4, batch_size=8, n_epochs=1, total_iters=2),
+            runner=RunnerConfig(seed=0, save_freq=1, num_devices=1),
+        )
+
+    r1 = Runner(mk(), log_dir=str(tmp_path / "run"))
+    # simulate an earlier high-water mark written by an eval
+    r1.train(1)
+    r1._best_eval = 0.987
+    r1._save_runner_state()
+    r1.train(2)
+    best_before = r1._best_metric
+    buf_before = list(r1._rew_buffer)
+    r1.close()
+
+    rs = json_lib.load(open(tmp_path / "run" / "models" / "runner_state.json"))
+    assert rs["best_eval"] == 0.987
+
+    r2 = Runner(mk(), log_dir=str(tmp_path / "run2"))
+    r2.restore(str(tmp_path / "run" / "models"))
+    assert r2._best_eval == 0.987
+    assert r2._best_metric == best_before
+    assert list(r2._rew_buffer) == buf_before
+    # a worse post-resume eval must NOT become the new best
+    assert not (0.5 > r2._best_eval)
+
+    # legacy checkpoints without the sidecar still restore (trackers at -inf)
+    (tmp_path / "run" / "models" / "runner_state.json").unlink()
+    r3 = Runner(mk(), log_dir=str(tmp_path / "run3"))
+    r3.restore(str(tmp_path / "run" / "models"))
+    assert r3._best_eval == -float("inf")
+
+
 def test_eval_camera_override(tmp_path):
     """runner.eval_camera evaluates under a different sensor resolution than
     the training camera (checkpoint selection at deployment fidelity)."""
