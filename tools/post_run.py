@@ -118,6 +118,11 @@ def main(argv=None):
             "mean_accuracy_x100m2": round(res.mean_accuracy_cm, 3),
             "mean_reward": round(res.mean_reward, 4),
             "mean_ep_length": round(res.mean_ep_length, 2),
+            # comparability diagnostics: reward-AUC is benchmark-relative
+            # (the forced init view's coverage is uncounted); these make the
+            # init-view share and the plotted-curve integral explicit
+            "init_coverage": round(res.mean_init_coverage, 4),
+            "coverage_curve_AUC": round(res.mean_curve_auc, 4),
         }
         print(f"{tag}: {report[tag]}", flush=True)
 
