@@ -147,6 +147,7 @@ class Runner:
             self.model, self.tx, cfg, ts,
             flat(batch.obs), flat(batch.actions), flat(batch.log_probs),
             flat(batch.values), flat(adv), flat(ret), r_upd,
+            num_envs=n,
         )
 
         # rollout metric aggregation (reference extras["episode"] keys).

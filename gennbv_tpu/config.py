@@ -144,6 +144,13 @@ class PPOConfig:
     # "constant" (reference default) | "linear" anneal to 0 (SB3 schedules)
     lr_schedule: str = "constant"
     total_iters: int = spec.PPO_TOTAL_ITERS
+    # logical env groups for minibatch sampling: minibatches are drawn
+    # balanced across this many fixed env groups (one permutation each), so
+    # gathers stay shard-local on any device count that divides it and the
+    # training trajectory is device-count-invariant (algo/ppo.py
+    # _minibatch_shards).  Adapts downward when it doesn't divide
+    # num_envs/batch_size.
+    minibatch_shards: int = 8
 
 
 @dataclass

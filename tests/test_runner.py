@@ -53,6 +53,45 @@ class TestRunner:
         assert np.isfinite(metrics["rollout/episode_reward"])
         assert np.isfinite(metrics["train/policy_gradient_loss"])
 
+    def test_single_vs_multi_device_equivalence(self, tmp_path):
+        """Same seed, same config: 2 training iterations on 1 device vs 8
+        devices must produce the same metrics (SURVEY §7 Phase 6).  The
+        minibatch composition is device-count-invariant by construction
+        (ppo._minibatch_shards is a config constant); residual drift is XLA
+        reduction order only, so the tolerance is tight."""
+        def run(num_devices):
+            cfg = tiny_config(num_envs=8, num_devices=num_devices)
+            runner = Runner(cfg, log_dir=str(tmp_path / f"eq{num_devices}"))
+            metrics = runner.train(2, log=False)
+            runner.close()
+            return metrics
+
+        m1 = run(1)
+        m8 = run(8)
+        keys = [k for k in m1 if k.startswith(("rollout/", "train/"))]
+        assert keys
+        for k in keys:
+            np.testing.assert_allclose(
+                m1[k], m8[k], rtol=2e-3, atol=2e-4,
+                err_msg=f"1-device vs 8-device metric {k} diverged")
+
+    def test_update_has_no_rollout_allgather(self, tmp_path):
+        """The compiled 8-device training step must not all-gather or
+        all-to-all the rollout: minibatch gathers are shard-local by the
+        shard-major layout (algo/ppo.py _minibatch_shards).  Gradient/metric
+        all-reduces are the only expected collectives."""
+        cfg = tiny_config(num_envs=8, num_devices=8)
+        runner = Runner(cfg, log_dir=str(tmp_path / "hlo"))
+        env_state, obs = runner.setup()
+        lowered = runner._train_iter.lower(
+            runner.train_state, env_state, obs, runner.rng)
+        txt = lowered.compile().as_text()
+        for bad in ("all-gather", "all-to-all"):
+            assert bad not in txt, (
+                f"compiled train step contains {bad}: the rollout/minibatch "
+                "path is resharding across devices")
+        assert "all-reduce" in txt, "expected gradient all-reduce is missing"
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from gennbv_tpu.utils.checkpoint import CheckpointManager
         cfg = tiny_config()
