@@ -132,6 +132,16 @@ class TestEvaluation:
         assert 0.0 < res.mean_init_coverage <= 1.0
         assert res.mean_init_coverage - 1e-6 <= res.mean_curve_auc \
             <= res.mean_final_coverage + 1e-6
+        # accuracy decomposition: directed terms sum to the total; scan
+        # points lie exactly on voxel faces (DDA entry-t), so scan->gt is
+        # bounded by the GT sampling's own resolution floor; the gt->scan
+        # seen part is below the unseen-included total
+        assert abs(res.accuracy_scan2gt + res.accuracy_gt2scan
+                   - res.mean_accuracy_cm) < 1e-3
+        assert np.isfinite(res.accuracy_floor_gt_sampling)
+        assert res.accuracy_scan2gt <= res.accuracy_floor_gt_sampling
+        assert 0.0 <= res.gt_unseen_frac <= 1.0
+        assert res.accuracy_gt2scan_seen <= res.accuracy_gt2scan + 1e-6
 
 
 def test_resume_from_checkpoint(tmp_path):

@@ -116,6 +116,15 @@ def main(argv=None):
             "final_coverage": round(res.mean_final_coverage, 4),
             "mean_AUC": round(res.mean_auc, 4),
             "mean_accuracy_x100m2": round(res.mean_accuracy_cm, 3),
+            # accuracy decomposition: scan2gt is GT-sampling-bound (floor/4);
+            # gt2scan splits into a seen part (scan-sampling-bound) and an
+            # unseen coverage tail (gt_unseen_frac of GT points)
+            "accuracy_scan2gt": round(res.accuracy_scan2gt, 3),
+            "accuracy_gt2scan": round(res.accuracy_gt2scan, 3),
+            "accuracy_gt2scan_seen": round(res.accuracy_gt2scan_seen, 3),
+            "gt_unseen_frac": round(res.gt_unseen_frac, 4),
+            "accuracy_floor_gt_sampling": round(
+                res.accuracy_floor_gt_sampling, 3),
             "mean_reward": round(res.mean_reward, 4),
             "mean_ep_length": round(res.mean_ep_length, 2),
             # comparability diagnostics: reward-AUC is benchmark-relative
