@@ -115,7 +115,12 @@ class Runner:
         self.ckpt: Optional[CheckpointManager] = None
 
         self.obs_dtype = jnp.bfloat16 if cfg.runner.obs_dtype == "bfloat16" else jnp.float32
-        self._train_iter = jax.jit(self._train_iteration, donate_argnums=(0, 1, 2))
+        # donate env_state + obs (the large rollout-side buffers).  ts is NOT
+        # donated: train() pipelines iterations by fetching iteration k's
+        # metrics only after dispatching k+1, and the delayed eval/checkpoint
+        # step still needs iteration k's params — donation would invalidate
+        # them.  The cost is one extra ~80 MB params+opt_state allocation.
+        self._train_iter = jax.jit(self._train_iteration, donate_argnums=(1, 2))
 
         # rolling 100-episode stats (env_train_base.py:629-639)
         self._rew_buffer: deque = deque(maxlen=100)
@@ -226,95 +231,141 @@ class Runner:
         # num_iterations is a TOTAL (reference total_timesteps semantics):
         # a resumed run (restore() set self.iteration) does the remainder,
         # keeping the LR schedule and iteration-indexed logging aligned
+        #
+        # The loop is PIPELINED: iteration k's metrics are fetched only
+        # after iteration k+1 has been dispatched, so the device never idles
+        # on the host fetch + logging.  On a tunneled PJRT backend the
+        # blocking per-iteration device_get costs seconds of device idle
+        # (measured 1.36 -> 5.28 s/iter); async dispatch hides it entirely.
+        # `pending` holds (packed metrics, the iteration's ts for
+        # eval/checkpointing, iteration, global_step, dispatch time).
+        # queue depth: how many iterations may be in flight before their
+        # metric fetch.  The tunnel round-trip (~1 s on axon) must fit in
+        # depth * iter_time to be fully hidden.
+        depth = max(1, cfg.runner.pipeline_depth)
+        pending = deque()
+        self._last_process_t = None
         for it in range(max(num_iterations - self.iteration, 0)):
             t0 = time.time()
-            # profile the 2nd iteration (post-compile) when requested
+            profiling_this = bool(cfg.runner.profile_dir) and it == 1
+            # profile the 2nd iteration (post-compile) when requested; a
+            # profiled iteration is fetched synchronously inside the trace
+            # so execution (not just dispatch) lands in the profile
             with profiling.trace(
-                cfg.runner.profile_dir if it == 1 else None
+                cfg.runner.profile_dir if profiling_this else None
             ):
                 ts, env_state, obs, self.rng, packed = self._train_iter(
                     ts, env_state, obs, self.rng
                 )
-                # ONE host transfer for all metrics: device_get on a dict of
-                # scalars fetches leaf-by-leaf (one tunnel round-trip each)
-                vals = np.asarray(jax.device_get(packed))
-                metrics = {k: float(v) for k, v in zip(_METRIC_KEYS, vals)}
-            dt_iter = time.time() - t0
+                if profiling_this:
+                    jax.block_until_ready(packed)
             self.global_step += steps_per_iter
             self.iteration += 1
-
-            metrics["time/fps"] = steps_per_iter / dt_iter
-            metrics["time/iter_seconds"] = dt_iter
-            metrics["global_step"] = self.global_step
-
-            # rolling episode stats for best-ckpt selection
-            n_ep = metrics.get("rollout/num_episodes", 0.0)
-            if n_ep > 0:
-                self._rew_buffer.append(metrics["rollout/episode_reward"])
-                self._len_buffer.append(metrics["rollout/episode_length"])
-            if self._rew_buffer:
-                metrics["rollout/episode_reward_rolling"] = float(
-                    np.mean(self._rew_buffer)
-                )
-
-            if self.eval_env is not None and cfg.runner.eval_freq > 0 and (
-                self.iteration % cfg.runner.eval_freq == 0
-            ):
-                t_eval = time.time()
-                # chamfer accuracy defaults OFF during in-train evals (the
-                # point accumulation + host NN loop cost ~70 s per eval, 4x
-                # the iteration itself at the tuned camera); post_run
-                # reports it for the final checkpoints
-                res = evaluation.evaluate(
-                    self.eval_env, self.model,
-                    {"params": ts.params, "batch_stats": ts.batch_stats},
-                    compute_accuracy=cfg.runner.eval_accuracy,
-                )
-                metrics["time/eval_seconds"] = time.time() - t_eval
-                metrics.update({
-                    "eval/mean_reward": res.mean_reward,
-                    "eval/mean_AUC": res.mean_auc,
-                    "eval/mean_ep_length": res.mean_ep_length,
-                    "eval/final_coverage": res.mean_final_coverage,
-                    # comparability diagnostics: how much the uncounted
-                    # init view already covers, and the direct
-                    # coverage-curve integral (see EvalResult)
-                    "eval/init_coverage": res.mean_init_coverage,
-                    "eval/coverage_curve_AUC": res.mean_curve_auc,
-                })
-                if np.isfinite(res.mean_accuracy_cm):
-                    metrics["eval/mean_accuracy"] = res.mean_accuracy_cm
-                # best-by-held-out-eval checkpoint (the reference's
-                # EvalCallback best_model, callbacks.py:685-693) — the
-                # model to ship when train-scene reward overfits
-                if self.ckpt is not None and (
-                    res.mean_final_coverage > self._best_eval
-                ):
-                    self._best_eval = res.mean_final_coverage
-                    self.ckpt.save_best("eval_coverage", ts)
-                    self._save_runner_state()
-
-            if self.logger is not None:
-                self.logger.log(metrics, self.iteration)
-                if self.iteration % cfg.runner.log_interval == 0:
-                    self.logger.print_table(metrics, self.iteration)
-            if self.ckpt is not None and cfg.runner.save_freq > 0 and (
-                self.iteration % cfg.runner.save_freq == 0
-            ):
-                self.ckpt.save_step(self.global_step, ts)
-                self._save_runner_state()
-            roll = metrics.get("rollout/episode_reward_rolling", -float("inf"))
-            if self.ckpt is not None and roll > self._best_metric:
-                self._best_metric = roll
-                self.ckpt.save_best(cfg.runner.best_metric, ts)
-                self._save_runner_state()
-
-            last_metrics = metrics
+            pending.append((packed, ts, self.iteration, self.global_step, t0))
+            if len(pending) > depth:
+                last_metrics = self._process_iter(*pending.popleft())
+        while pending:
+            last_metrics = self._process_iter(*pending.popleft())
 
         self.train_state = ts
         self._final_env_state = env_state
         self._final_obs = obs
         return last_metrics
+
+    def _process_iter(self, packed, ts, iteration, global_step, t0):
+        """Host-side post-processing of one finished iteration: the single
+        packed metric fetch, rolling stats, periodic eval, logging and
+        checkpointing.  Runs while the NEXT iteration executes on device."""
+        cfg = self.cfg
+        steps_per_iter = cfg.ppo.n_steps * cfg.env.num_envs
+        # ONE host transfer for all metrics: device_get on a dict of
+        # scalars fetches leaf-by-leaf (one tunnel round-trip each)
+        vals = np.asarray(jax.device_get(packed))
+        metrics = {k: float(v) for k, v in zip(_METRIC_KEYS, vals)}
+        # with the pipelined queue, per-iteration wall time = spacing
+        # between successive fetch completions (the t0 span would count the
+        # whole in-flight queue); the first processed iteration falls back
+        # to its own span so compile time is visible
+        now = time.time()
+        dt_iter = (now - self._last_process_t
+                   if self._last_process_t is not None else now - t0)
+        self._last_process_t = now
+
+        metrics["time/fps"] = steps_per_iter / dt_iter
+        metrics["time/iter_seconds"] = dt_iter
+        metrics["global_step"] = global_step
+
+        # rolling episode stats for best-ckpt selection
+        n_ep = metrics.get("rollout/num_episodes", 0.0)
+        if n_ep > 0:
+            self._rew_buffer.append(metrics["rollout/episode_reward"])
+            self._len_buffer.append(metrics["rollout/episode_length"])
+        if self._rew_buffer:
+            metrics["rollout/episode_reward_rolling"] = float(
+                np.mean(self._rew_buffer)
+            )
+
+        if self.eval_env is not None and cfg.runner.eval_freq > 0 and (
+            iteration % cfg.runner.eval_freq == 0
+        ):
+            t_eval = time.time()
+            # chamfer accuracy defaults OFF during in-train evals (the
+            # point accumulation + host NN loop cost ~70 s per eval, 4x
+            # the iteration itself at the tuned camera); post_run
+            # reports it for the final checkpoints
+            res = evaluation.evaluate(
+                self.eval_env, self.model,
+                {"params": ts.params, "batch_stats": ts.batch_stats},
+                compute_accuracy=cfg.runner.eval_accuracy,
+            )
+            metrics["time/eval_seconds"] = time.time() - t_eval
+            metrics.update({
+                "eval/mean_reward": res.mean_reward,
+                "eval/mean_AUC": res.mean_auc,
+                "eval/mean_ep_length": res.mean_ep_length,
+                "eval/final_coverage": res.mean_final_coverage,
+                # comparability diagnostics: how much the uncounted
+                # init view already covers, and the direct
+                # coverage-curve integral (see EvalResult)
+                "eval/init_coverage": res.mean_init_coverage,
+                "eval/coverage_curve_AUC": res.mean_curve_auc,
+            })
+            if np.isfinite(res.mean_accuracy_cm):
+                metrics["eval/mean_accuracy"] = res.mean_accuracy_cm
+                # representation-honesty decomposition (EvalResult)
+                metrics["eval/accuracy_scan2gt"] = res.accuracy_scan2gt
+                metrics["eval/accuracy_gt2scan"] = res.accuracy_gt2scan
+                metrics["eval/accuracy_gt2scan_seen"] = (
+                    res.accuracy_gt2scan_seen)
+                metrics["eval/gt_unseen_frac"] = res.gt_unseen_frac
+                metrics["eval/accuracy_floor_gt_sampling"] = (
+                    res.accuracy_floor_gt_sampling)
+            # best-by-held-out-eval checkpoint (the reference's
+            # EvalCallback best_model, callbacks.py:685-693) — the
+            # model to ship when train-scene reward overfits
+            if self.ckpt is not None and (
+                res.mean_final_coverage > self._best_eval
+            ):
+                self._best_eval = res.mean_final_coverage
+                self.ckpt.save_best("eval_coverage", ts)
+                self._save_runner_state()
+
+        if self.logger is not None:
+            self.logger.log(metrics, iteration)
+            if iteration % cfg.runner.log_interval == 0:
+                self.logger.print_table(metrics, iteration)
+        if self.ckpt is not None and cfg.runner.save_freq > 0 and (
+            iteration % cfg.runner.save_freq == 0
+        ):
+            self.ckpt.save_step(global_step, ts)
+            self._save_runner_state()
+        roll = metrics.get("rollout/episode_reward_rolling", -float("inf"))
+        if self.ckpt is not None and roll > self._best_metric:
+            self._best_metric = roll
+            self.ckpt.save_best(cfg.runner.best_metric, ts)
+            self._save_runner_state()
+
+        return metrics
 
     # ------------------------------------------------------------------
     def _save_runner_state(self):

@@ -180,6 +180,12 @@ class RunnerConfig:
     num_slices: int = 1
     # write a jax.profiler trace of iteration 2 to this dir ("" = off)
     profile_dir: str = ""
+    # training-loop pipelining: how many dispatched iterations may be in
+    # flight before their single packed metric fetch is forced.  On a
+    # tunneled PJRT backend the fetch round-trip is ~1 s; depth 2 hides it
+    # behind two executing iterations (measured 5.28 -> 1.4 s/iter).
+    # Logging/eval/checkpointing lag by `pipeline_depth` iterations.
+    pipeline_depth: int = 2
     obs_dtype: str = "float32"      # rollout obs storage dtype ("bfloat16" halves HBM)
 
 
