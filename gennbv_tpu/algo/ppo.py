@@ -176,6 +176,13 @@ def update(
             + cfg.ent_coef * entropy_loss
             + cfg.vf_coef * value_loss
         )
+        if cfg.ent_floor is not None:
+            # entropy floor: an extra hinge bonus that engages only when the
+            # batch-mean entropy drops below the floor — prevents late-
+            # training entropy collapse without perturbing the reference
+            # loss while entropy is healthy.  Off (None) by default.
+            loss = loss + cfg.ent_floor_coef * jax.nn.relu(
+                cfg.ent_floor - ent.mean())
         approx_kl = jnp.mean(jnp.expm1(log_ratio) - log_ratio)
         clip_frac = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip_range).astype(jnp.float32))
         aux = (mutated["batch_stats"], policy_loss, value_loss, entropy_loss,

@@ -144,6 +144,12 @@ class PPOConfig:
     # "constant" (reference default) | "linear" anneal to 0 (SB3 schedules)
     lr_schedule: str = "constant"
     total_iters: int = spec.PPO_TOTAL_ITERS
+    # entropy floor (None = off, reference parity): when set, an extra hinge
+    # bonus ent_floor_coef * relu(ent_floor - mean_entropy) engages only
+    # below the floor, countering late-training entropy collapse (round-1:
+    # entropy hit -4.4 by iter 2000 and exploration plateaued)
+    ent_floor: Optional[float] = None
+    ent_floor_coef: float = 0.1
     # logical env groups for minibatch sampling: minibatches are drawn
     # balanced across this many fixed env groups (one permutation each), so
     # gathers stay shard-local on any device count that divides it and the

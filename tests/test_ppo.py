@@ -133,6 +133,33 @@ class TestPPOUpdate:
         for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)):
             np.testing.assert_array_equal(np.array(a), np.array(b))
 
+    def test_entropy_floor_preserves_entropy(self):
+        """With a hinge entropy floor near the max, repeated updates keep
+        policy entropy higher than the reference loss does; without it the
+        bandit objective peaks the policy."""
+        def run(ent_floor):
+            cfg = PPOConfig(batch_size=128, n_epochs=4, learning_rate=3e-3,
+                            target_kl=None, policy_loss_mult=1.0,
+                            clip_range_vf=None, ent_floor=ent_floor,
+                            ent_floor_coef=1.0)
+            model = TinyPolicy()
+            rng = jax.random.PRNGKey(3)
+            ts, tx = make_ts(model, rng, 4, cfg)
+            upd = jax.jit(
+                lambda ts, o, a, lp, v, ad, re, r: ppo.update(
+                    model, tx, cfg, ts, o, a, lp, v, ad, re, r))
+            for _ in range(15):
+                rng, r1, r2 = jax.random.split(rng, 3)
+                obs, actions, logp, values, adv, returns, _ = (
+                    self._rollout_bandit(model, ts, r1))
+                ts, metrics = upd(ts, obs, actions, logp, values, adv,
+                                  returns, r2)
+            return -float(metrics.entropy_loss)   # mean entropy
+
+        ent_free = run(None)
+        ent_floored = run(17.0)   # max entropy of the action space ~17.8
+        assert ent_floored > ent_free + 0.5, (ent_free, ent_floored)
+
     def test_update_runs_all_minibatches_without_target_kl(self):
         cfg = PPOConfig(batch_size=64, n_epochs=3, target_kl=None)
         model = TinyPolicy()
