@@ -32,6 +32,55 @@ import jax
 
 REFERENCE_EST_STEPS_PER_SEC = 200.0
 
+# Peak specs by device kind, for the roofline/MFU fields.  bf16 matmul peak
+# and HBM bandwidth; MFU is conventionally reported against the bf16 peak
+# (the dominant ops here — splat/carve one-hot matmuls, encoder convs, PPO
+# GEMMs — all run bf16 on the MXU).
+_PEAKS = {
+    # device_kind substring -> (bf16 TFLOP/s, HBM GB/s)
+    "v5 lite": (197.0, 819.0),   # v5e
+    "v5e": (197.0, 819.0),
+    "v4": (275.0, 1228.0),
+    "v5p": (459.0, 2765.0),
+    "v6": (918.0, 1640.0),       # v6e (Trillium)
+}
+
+
+def _device_peaks(dev) -> tuple[float, float]:
+    kind = getattr(dev, "device_kind", "").lower()
+    for key, peaks in _PEAKS.items():
+        if key in kind:
+            return peaks
+    return (197.0, 819.0)  # default to v5e
+
+
+def roofline(compiled, calls_per_sec: float, dev) -> dict:
+    """MFU + HBM-utilization fields from XLA's compiled cost analysis.
+
+    `flops` and `bytes accessed` are XLA's static per-call estimates
+    (algebraic flops; bytes = HBM touched assuming no cache reuse), so the
+    utilizations are lower bounds on how busy the respective unit is.  The
+    `bound` field says which roofline wall the program sits closer to.
+    """
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        return {"mfu": -1.0}
+    peak_tflops, peak_gbps = _device_peaks(dev)
+    mfu = flops * calls_per_sec / (peak_tflops * 1e12)
+    hbm_util = bytes_acc * calls_per_sec / (peak_gbps * 1e9)
+    return {
+        "mfu": round(mfu, 4),
+        "hbm_util": round(hbm_util, 4),
+        "tflops_per_iter": round(flops / 1e12, 4),
+        "gbytes_per_iter": round(bytes_acc / 1e9, 4),
+        "bound": "bandwidth" if hbm_util > mfu else "compute",
+    }
+
 
 def main():
     from gennbv_tpu.config import (CameraConfig, Config, EnvConfig, PPOConfig,
@@ -66,11 +115,18 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = iters * cfg.ppo.n_steps * num_envs / dt
+
+    # MFU/roofline of the timed program (VERDICT r1 item 6): same jit cache
+    # entry as the timed calls, so cost analysis describes exactly what ran.
+    compiled = runner._train_iter.lower(ts, env_state, obs, rng).compile()
+    extra = roofline(compiled, iters / dt, jax.devices()[0])
+
     print(json.dumps({
         "metric": "PPO end-to-end env-steps/sec, 256 envs (render+map+update)",
         "value": round(steps_per_sec, 2),
         "unit": "env_steps_per_sec",
         "vs_baseline": round(steps_per_sec / REFERENCE_EST_STEPS_PER_SEC, 3),
+        **extra,
     }))
 
 
