@@ -1,0 +1,241 @@
+"""Fused Pallas TPU kernel for the splat z-buffer + visibility pass.
+
+The mxu.py formulation (radix-min via exponent-encoded one-hot matmuls,
+ops/mxu.py:75-142) is algorithmically right for the MXU but leaves two
+costs on the table at large sensors (400x400, the reference's deployment
+camera — config_gennbv_train.py:23-35):
+
+1. every one-hot operand ([Q, V]/[Q, U] bf16, ~9 MB per env at 400^2) is
+   materialized to HBM and re-streamed for each of the four GEMMs — XLA
+   does not fuse elementwise producers into dot operands;
+2. XLA pads both image dims to the 128-lane MXU granularity (400 -> 512),
+   a 1.64x FLOP tax.
+
+This kernel runs the ENTIRE sequence — digit encode, two radix passes,
+digit decode, 3x3 footprint min-pool, and the per-point visibility gather
+— in one pallas_call per env.  One-hot tiles are generated on the fly in
+VMEM from the int32 pixel indices (Q * 12 bytes of HBM traffic instead of
+~70 MB), the z-buffer planes live in VMEM scratch, and all-padding point
+chunks (surf capacity is ~2x the mean occupancy, env/scene.py:
+_pack_surface_points) are skipped with a predicated branch.
+
+Numerics are kept IDENTICAL to the mxu path: same digit/decode formulas,
+same bf16 one-hot products with f32 accumulation, same bf16 single-plane
+z-buffer gather for the slack comparison, so ops/splat.py can switch
+implementations without re-deriving goldens (summation order differs only
+within the f32 accumulator, which the ceil-decode absorbs by design).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+CHUNK = 256            # points per radix/gather chunk (2 sublane rows)
+LEVELS = 10            # radix digits per pass (10 -> 100 depth levels)
+SPACING = 12           # bits between digit weights: counts < 2^12 exact
+
+
+def _shift_fill(x: jnp.ndarray, shift: int, axis: int, fill) -> jnp.ndarray:
+    """x shifted by `shift` along `axis`, vacated slots set to `fill`.
+    result[i] = x[i - shift].  Static concat+slice (portable between
+    Mosaic and interpret mode, unlike pltpu.roll)."""
+    if shift == 0:
+        return x
+    pad_shape = list(x.shape)
+    pad_shape[axis] = abs(shift)
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    n = x.shape[axis]
+    if shift > 0:
+        kept = jax.lax.slice_in_dim(x, 0, n - shift, axis=axis)
+        return jax.lax.concatenate([pad, kept], axis)
+    kept = jax.lax.slice_in_dim(x, -shift, n, axis=axis)
+    return jax.lax.concatenate([kept, pad], axis)
+
+
+def _minpool_same(z: jnp.ndarray, footprint: int, big) -> jnp.ndarray:
+    """Separable (2f+1)^2 min-pool with SAME edges (init = big), matching
+    ops/splat.py's two 1-D reduce_windows."""
+    for axis in (0, 1):
+        acc = z
+        for s in range(1, footprint + 1):
+            acc = jnp.minimum(acc, _shift_fill(z, s, axis, big))
+            acc = jnp.minimum(acc, _shift_fill(z, -s, axis, big))
+        z = acc
+    return z
+
+
+def _decode_digit(m: jnp.ndarray) -> jnp.ndarray:
+    """Min digit from the exponent-encoded sum: ceil(-log2(m)/s), clipped;
+    LEVELS where the pixel saw no point (m == 0)."""
+    digit = jnp.ceil(-jnp.log2(jnp.maximum(m, 1e-38)) / SPACING)
+    digit = jnp.clip(digit, 0, LEVELS - 1)
+    return jnp.where(m > 0.0, digit, jnp.float32(LEVELS))
+
+
+def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
+                  zbuf_ref, vis_ref, m1_ref, m2_ref,
+                  *, height: int, width: int,
+                  footprint: int, chunks: int):
+    f32 = jnp.float32
+    depth_max = scal_ref[0, 1]
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, height), 1)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, width), 1)
+    rows = CHUNK // LANES
+
+    ok_all = ok_ref[...]
+    z_all = z_ref[...]
+    # per-env depth range (ops/mxu.py:102-104)
+    zmin = jnp.min(jnp.where(ok_all > 0, z_all, jnp.inf))
+    zmax = jnp.max(jnp.where(ok_all > 0, z_all, -jnp.inf))
+    zrange = jnp.maximum(zmax - zmin, 1e-3)
+
+    def chunk_data(c):
+        sl = pl.ds(c * rows, rows)
+        vv = vi_ref[sl, :].reshape(CHUNK, 1)
+        uu = ui_ref[sl, :].reshape(CHUNK, 1)
+        zc = z_ref[sl, :].reshape(CHUNK, 1).astype(f32)
+        okc = ok_ref[sl, :].reshape(CHUNK, 1).astype(f32)
+        t = jnp.clip((zc - zmin) / zrange * LEVELS, 0.0, LEVELS - 1e-3)
+        d1 = jnp.floor(t)
+        d2 = jnp.floor((t - d1) * LEVELS)
+        return vv, uu, zc, okc, d1, d2
+
+    def onehot(idx_col, iota, w_col):
+        # [CHUNK, dim] bf16: w at the point's pixel, 0 elsewhere.  Built in
+        # VMEM per chunk — never touches HBM.
+        return jnp.where(idx_col == iota, w_col, 0.0).astype(jnp.bfloat16)
+
+    def gather_cols(img_bf16, ohv, uu):
+        """img[vi, ui] per point: one-hot row dot + column select
+        (single-plane bf16, matching ops/mxu.py::gather_image_oh)."""
+        t = jax.lax.dot_general(
+            ohv, img_bf16, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                  # [CHUNK, width]
+        return jnp.sum(jnp.where(uu == iota_u, t, 0.0), axis=1,
+                       keepdims=True)                    # [CHUNK, 1]
+
+    # ---- pass A: encoded min of the coarse digit ----------------------
+    m1_ref[...] = jnp.zeros((height, width), f32)
+
+    def pass_a(c, _):
+        vv, uu, _, okc, d1, _ = chunk_data(c)
+
+        @pl.when(jnp.sum(okc) > 0)
+        def _():
+            ohv = onehot(vv, iota_v, jnp.float32(1.0))
+            ohu = onehot(uu, iota_u, jnp.exp2(-SPACING * d1) * okc)
+            m1_ref[...] += jax.lax.dot_general(
+                ohv, ohu, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+        return 0
+
+    jax.lax.fori_loop(0, chunks, pass_a, 0, unroll=False)
+    m1d = _decode_digit(m1_ref[...])
+    m1_ref[...] = m1d                       # reuse the plane for the digits
+
+    # ---- pass B: encoded min of the fine digit among min-bucket points
+    m2_ref[...] = jnp.zeros((height, width), f32)
+    m1d_bf16 = m1d.astype(jnp.bfloat16)     # digits <= 10: exact in bf16
+
+    def pass_b(c, _):
+        vv, uu, _, okc, d1, d2 = chunk_data(c)
+
+        @pl.when(jnp.sum(okc) > 0)
+        def _():
+            ohv = onehot(vv, iota_v, jnp.float32(1.0))
+            m1q = gather_cols(m1d_bf16, ohv, uu)
+            in_min = okc * (jnp.abs(d1 - m1q) < 0.5).astype(f32)
+            ohu = onehot(uu, iota_u, jnp.exp2(-SPACING * d2) * in_min)
+            m2_ref[...] += jax.lax.dot_general(
+                ohv, ohu, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+        return 0
+
+    jax.lax.fori_loop(0, chunks, pass_b, 0, unroll=False)
+
+    # ---- decode + footprint pool --------------------------------------
+    m1d = m1_ref[...]
+    m2d = _decode_digit(m2_ref[...])
+    # overflow fallback: no in-bucket point -> bucket midpoint
+    sub = jnp.where(m2d < LEVELS, m2d + 0.5, 0.5 * LEVELS)
+    frac = (m1d + sub / LEVELS) / LEVELS
+    zq = zmin + frac * zrange
+    zbuf0 = jnp.where(m1d < LEVELS, zq, depth_max)
+    zbuf = _minpool_same(zbuf0, footprint, depth_max) \
+        if footprint > 0 else zbuf0
+    zbuf_ref[...] = zbuf
+
+    # ---- pass C: per-point visibility against the pooled z-buffer -----
+    zb16 = zbuf.astype(jnp.bfloat16)
+    eps_total = scal_ref[0, 0] + zrange / (LEVELS * LEVELS)
+
+    def pass_c(c, _):
+        vv, uu, zc, okc, _, _ = chunk_data(c)
+        sl = pl.ds(c * rows, rows)
+
+        @pl.when(jnp.sum(okc) > 0)
+        def _():
+            ohv = onehot(vv, iota_v, jnp.float32(1.0))
+            zpx = gather_cols(zb16, ohv, uu)
+            vis = okc * (zc <= zpx + eps_total).astype(f32)
+            vis_ref[sl, :] = vis.reshape(rows, LANES)
+
+        @pl.when(jnp.logical_not(jnp.sum(okc) > 0))
+        def _():
+            vis_ref[sl, :] = jnp.zeros((rows, LANES), f32)
+        return 0
+
+    jax.lax.fori_loop(0, chunks, pass_c, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width",
+                                             "footprint", "interpret"))
+def zbuf_visible(
+    vi: jnp.ndarray,        # [Q] int32 clipped pixel rows
+    ui: jnp.ndarray,        # [Q] int32 clipped pixel cols
+    z: jnp.ndarray,         # [Q] f32 camera-space depth
+    ok: jnp.ndarray,        # [Q] bool: in-front & in-image & not padding
+    voxel_eps: jnp.ndarray, # scalar f32 visibility slack (pre-quantization)
+    height: int, width: int, depth_max=50.0, footprint: int = 1,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused z-buffer + visibility for one env.  Returns
+    (zbuf [H, W] f32, visible [Q] bool).  vmap-compatible (the batch axis
+    becomes a pallas grid dimension)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q = vi.shape[0]
+    qp = -(-q // CHUNK) * CHUNK
+    pad = qp - q
+    if pad:
+        vi = jnp.pad(vi, (0, pad))
+        ui = jnp.pad(ui, (0, pad))
+        z = jnp.pad(z, (0, pad), constant_values=1.0)
+        ok = jnp.pad(ok, (0, pad))
+    qr = qp // LANES
+    kernel = functools.partial(
+        _splat_kernel, height=height, width=width, footprint=footprint,
+        chunks=qp // CHUNK)
+    scal = jnp.stack([jnp.asarray(voxel_eps, jnp.float32).reshape(()),
+                      jnp.asarray(depth_max, jnp.float32).reshape(())]
+                     ).reshape(1, 2)
+    zbuf, vis = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((height, width), jnp.float32),
+                   jax.ShapeDtypeStruct((qr, LANES), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((height, width), jnp.float32),
+                        pltpu.VMEM((height, width), jnp.float32)],
+        interpret=interpret,
+    )(vi.reshape(qr, LANES), ui.reshape(qr, LANES),
+      z.reshape(qr, LANES), ok.astype(jnp.float32).reshape(qr, LANES),
+      scal)
+    return zbuf, vis.reshape(-1)[:q] > 0.5

@@ -40,7 +40,8 @@ def splat_depth(
     depth_max: float,
     voxel_eps: jnp.ndarray,   # scalar: visibility slack (~ render voxel size)
     footprint: int = 1,       # splat radius in pixels (1 -> 3x3)
-    zbuf_impl: str = "mxu",   # "mxu" (radix-min matmuls) | "scatter" (exact)
+    zbuf_impl: str = "mxu",   # "mxu" (radix-min matmuls) | "pallas" (fused
+                              # kernel, ops/pallas_splat.py) | "scatter" (exact)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (zbuf [H*W], fg [H*W] bool, visible [Q] bool)."""
     from gennbv_tpu.ops import mxu
@@ -59,6 +60,17 @@ def splat_depth(
     ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
     vic = jnp.clip(vi, 0, height - 1)
     uic = jnp.clip(ui, 0, width - 1)
+
+    if zbuf_impl == "pallas":
+        # the whole radix-min + pool + visibility sequence fused in VMEM
+        # (ops/pallas_splat.py) — numerically identical to the mxu path
+        from gennbv_tpu.ops import pallas_splat
+        zbuf2d, visible = pallas_splat.zbuf_visible(
+            vic, uic, z, ok, voxel_eps, height, width, depth_max, footprint)
+        zbuf = zbuf2d.reshape(-1)
+        fg = zbuf < depth_max - 1e-6
+        return zbuf, fg, visible
+
     oh = None
     if zbuf_impl == "mxu":
         # radix-min via MXU matmuls (ops/mxu.py): ~6x faster than XLA's
