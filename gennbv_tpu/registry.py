@@ -47,5 +47,17 @@ def _make_eval(cfg: Config):
     return ReconEnv(env_cfg, scenes), env_cfg
 
 
+def _make_drone(cfg: Config = None):
+    """Physics quadrotor velocity-tracking task (the legged_gym robot layer
+    re-created TPU-native; legged_gym/env/base/drone_robot.py:49).  Driven by
+    the continuous rsl_rl-family stack (OnPolicyRunner + Gaussian PPO); takes
+    its own DroneRobotConfig rather than the ReconEnv Config tree, matching
+    the reference registry where each task binds its own cfg class."""
+    from gennbv_tpu.env.drone_robot import DroneRobot, DroneRobotConfig
+    dcfg = DroneRobotConfig()
+    return DroneRobot(dcfg), dcfg
+
+
 register("train_gennbv", _make_train)
 register("eval_gennbv", _make_eval)
+register("drone_velocity", _make_drone)

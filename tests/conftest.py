@@ -19,3 +19,8 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 assert len(jax.devices()) >= 8, "xla_force_host_platform_device_count failed"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running learnability/training tests")
