@@ -29,6 +29,28 @@ def _split_bf16(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return hi, lo
 
 
+def exact_exp2_neg(d: jnp.ndarray, s: int) -> jnp.ndarray:
+    """2^(-s*d) for integer-valued d in [0, ~10]: BIT-EXACT power of two,
+    assembled directly in the f32 exponent field.  jnp.exp2 is a VPU
+    polynomial on TPU (and in Mosaic kernels) whose result can be one ulp
+    off an exact power of two — which shifts the radix-min encoding by a
+    whole bucket at decode boundaries (observed: 5.7% of 400^2 z-buffer
+    pixels one coarse level off between backends)."""
+    e = (127 - s * d.astype(jnp.int32)) << 23
+    return jax.lax.bitcast_convert_type(e, jnp.float32)
+
+
+def exact_min_digit(m: jnp.ndarray, s: int, levels: int) -> jnp.ndarray:
+    """ceil(-log2(m)/s) for m a sum of exact powers 2^(-s*k): reads the
+    f32 exponent field instead of a transcendental log2.  Returns `levels`
+    where m == 0 (pixel saw no point)."""
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127          # floor(log2 m) for normal m
+    digit = jnp.clip((-e + (s - 1)) // s, 0, levels - 1)
+    return jnp.where(m > 0.0, digit.astype(jnp.float32),
+                     jnp.float32(levels))
+
+
 def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
                  exact: bool = True) -> jnp.ndarray:
     """img[vi, ui] for one image — [H, W] f32, vi/ui [P] int32 (in range).
@@ -113,14 +135,17 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
     def encoded_min(d_digit, mask):
         # w is 0 or an exact power of two (2^-s*digit, s*digit <= 108 well
         # inside bf16's exponent range), so single-plane bf16 is EXACT —
-        # a hi/lo split's lo plane would be identically zero
-        w = jnp.exp2(-s * d_digit) * mask                        # [Q] f32
+        # a hi/lo split's lo plane would be identically zero.  Encode and
+        # decode via exponent-field bit ops (exact_exp2_neg /
+        # exact_min_digit): transcendental exp2/log2 are backend-dependent
+        # at exactly-power-of-two inputs.
+        w = exact_exp2_neg(d_digit, s) * mask                    # [Q] f32
         m = jnp.dot(ohv.T * w.astype(jnp.bfloat16)[None, :], ohu,
                     preferred_element_type=jnp.float32)          # [V, U]
         have = m > 0.0
-        digit = jnp.ceil(-jnp.log2(jnp.maximum(m, 1e-38)) / s)
-        digit = jnp.clip(digit, 0, d_levels - 1)
-        return jnp.where(have, digit, jnp.float32(d_levels)), have
+        digit = exact_min_digit(m, s, d_levels)
+        return jnp.where(have, jnp.clip(digit, 0, d_levels - 1),
+                         jnp.float32(d_levels)), have
 
     m1, have1 = encoded_min(d1, vf)
 

@@ -15,9 +15,16 @@ This kernel runs the ENTIRE sequence — digit encode, two radix passes,
 digit decode, 3x3 footprint min-pool, and the per-point visibility gather
 — in one pallas_call per env.  One-hot tiles are generated on the fly in
 VMEM from the int32 pixel indices (Q * 12 bytes of HBM traffic instead of
-~70 MB), the z-buffer planes live in VMEM scratch, and all-padding point
-chunks (surf capacity is ~2x the mean occupancy, env/scene.py:
-_pack_surface_points) are skipped with a predicated branch.
+~70 MB), and the z-buffer planes live in VMEM scratch.
+
+Mosaic layout discipline (learned from first-light: `tpu.reshape
+(1x2x128) -> (256x1)` is an unsupported lane->sublane cast): per-point
+data NEVER changes layout.  Points are processed 128 per chunk as [1, 128]
+LANE rows; one-hot tiles are [dim, 128] built by comparing the row against
+a sublane iota; the radix accumulation contracts the lane dim of both
+operands (A[h,p]·C[w,p] -> dot_general ((1,),(1,))), and the image gather
+is img·C ([H,W]x[W,128] -> [H,128]) followed by an elementwise mask and a
+sublane reduction back to a [1, 128] row.
 
 Numerics are kept IDENTICAL to the mxu path: same digit/decode formulas,
 same bf16 one-hot products with f32 accumulation, same bf16 single-plane
@@ -34,8 +41,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gennbv_tpu.ops.mxu import exact_exp2_neg, exact_min_digit
+
 LANES = 128
-CHUNK = 256            # points per radix/gather chunk (2 sublane rows)
+CHUNK = 128            # points per chunk: one [1, 128] lane row
 LEVELS = 10            # radix digits per pass (10 -> 100 depth levels)
 SPACING = 12           # bits between digit weights: counts < 2^12 exact
 
@@ -70,11 +79,9 @@ def _minpool_same(z: jnp.ndarray, footprint: int, big) -> jnp.ndarray:
 
 
 def _decode_digit(m: jnp.ndarray) -> jnp.ndarray:
-    """Min digit from the exponent-encoded sum: ceil(-log2(m)/s), clipped;
-    LEVELS where the pixel saw no point (m == 0)."""
-    digit = jnp.ceil(-jnp.log2(jnp.maximum(m, 1e-38)) / SPACING)
-    digit = jnp.clip(digit, 0, LEVELS - 1)
-    return jnp.where(m > 0.0, digit, jnp.float32(LEVELS))
+    """Min digit from the exponent-encoded sum, bit-exact (ops/mxu.py::
+    exact_min_digit); LEVELS where the pixel saw no point (m == 0)."""
+    return exact_min_digit(m, SPACING, LEVELS)
 
 
 def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
@@ -83,9 +90,9 @@ def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
                   footprint: int, chunks: int):
     f32 = jnp.float32
     depth_max = scal_ref[0, 1]
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, height), 1)
-    iota_u = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, width), 1)
-    rows = CHUNK // LANES
+    # sublane iotas: row h of iota_v is h; row w of iota_u is w
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (height, CHUNK), 0)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (width, CHUNK), 0)
 
     ok_all = ok_ref[...]
     z_all = z_ref[...]
@@ -94,44 +101,50 @@ def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
     zmax = jnp.max(jnp.where(ok_all > 0, z_all, -jnp.inf))
     zrange = jnp.maximum(zmax - zmin, 1e-3)
 
-    def chunk_data(c):
-        sl = pl.ds(c * rows, rows)
-        vv = vi_ref[sl, :].reshape(CHUNK, 1)
-        uu = ui_ref[sl, :].reshape(CHUNK, 1)
-        zc = z_ref[sl, :].reshape(CHUNK, 1).astype(f32)
-        okc = ok_ref[sl, :].reshape(CHUNK, 1).astype(f32)
+    def chunk_rows(c):
+        """Per-point data for chunk c, all as [1, CHUNK] lane rows."""
+        sl = pl.ds(c, 1)
+        vv = vi_ref[sl, :]
+        uu = ui_ref[sl, :]
+        zc = z_ref[sl, :].astype(f32)
+        okc = ok_ref[sl, :].astype(f32)
         t = jnp.clip((zc - zmin) / zrange * LEVELS, 0.0, LEVELS - 1e-3)
         d1 = jnp.floor(t)
         d2 = jnp.floor((t - d1) * LEVELS)
         return vv, uu, zc, okc, d1, d2
 
-    def onehot(idx_col, iota, w_col):
-        # [CHUNK, dim] bf16: w at the point's pixel, 0 elsewhere.  Built in
-        # VMEM per chunk — never touches HBM.
-        return jnp.where(idx_col == iota, w_col, 0.0).astype(jnp.bfloat16)
+    def onehot(idx_row, iota, w_row):
+        # [dim, CHUNK] bf16: w at the point's pixel row, 0 elsewhere.
+        # Built in VMEM from the [1, CHUNK] index row — never touches HBM.
+        return jnp.where(idx_row == iota, w_row, 0.0).astype(jnp.bfloat16)
 
-    def gather_cols(img_bf16, ohv, uu):
-        """img[vi, ui] per point: one-hot row dot + column select
-        (single-plane bf16, matching ops/mxu.py::gather_image_oh)."""
-        t = jax.lax.dot_general(
-            ohv, img_bf16, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)                  # [CHUNK, width]
-        return jnp.sum(jnp.where(uu == iota_u, t, 0.0), axis=1,
-                       keepdims=True)                    # [CHUNK, 1]
+    def accum(A, C):
+        # m[h, w] += sum_p A[h, p] * C[w, p]: contract the lane dim of
+        # both one-hot tiles (A · C^T on the MXU)
+        return jax.lax.dot_general(
+            A, C, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    def gather_row(img_bf16, A, uu, okc):
+        """img[vi_p, ui_p] per point as a [1, CHUNK] f32 row:
+        G = img · C_u ([H, W] x [W, CHUNK]), then mask by A and reduce
+        over sublanes (single-plane bf16, matching mxu.gather_image_oh)."""
+        cu = onehot(uu, iota_u, jnp.float32(1.0))
+        g = jax.lax.dot_general(
+            img_bf16, cu, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                  # [H, CHUNK]
+        return jnp.sum(A.astype(f32) * g, axis=0, keepdims=True)
 
     # ---- pass A: encoded min of the coarse digit ----------------------
     m1_ref[...] = jnp.zeros((height, width), f32)
 
     def pass_a(c, _):
-        vv, uu, _, okc, d1, _ = chunk_data(c)
+        vv, uu, _, okc, d1, _ = chunk_rows(c)
 
         @pl.when(jnp.sum(okc) > 0)
         def _():
-            ohv = onehot(vv, iota_v, jnp.float32(1.0))
-            ohu = onehot(uu, iota_u, jnp.exp2(-SPACING * d1) * okc)
-            m1_ref[...] += jax.lax.dot_general(
-                ohv, ohu, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
+            A = onehot(vv, iota_v, jnp.float32(1.0))
+            C = onehot(uu, iota_u, exact_exp2_neg(d1, SPACING) * okc)
+            m1_ref[...] += accum(A, C)
         return 0
 
     jax.lax.fori_loop(0, chunks, pass_a, 0, unroll=False)
@@ -143,17 +156,15 @@ def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
     m1d_bf16 = m1d.astype(jnp.bfloat16)     # digits <= 10: exact in bf16
 
     def pass_b(c, _):
-        vv, uu, _, okc, d1, d2 = chunk_data(c)
+        vv, uu, _, okc, d1, d2 = chunk_rows(c)
 
         @pl.when(jnp.sum(okc) > 0)
         def _():
-            ohv = onehot(vv, iota_v, jnp.float32(1.0))
-            m1q = gather_cols(m1d_bf16, ohv, uu)
+            A = onehot(vv, iota_v, jnp.float32(1.0))
+            m1q = gather_row(m1d_bf16, A, uu, okc)
             in_min = okc * (jnp.abs(d1 - m1q) < 0.5).astype(f32)
-            ohu = onehot(uu, iota_u, jnp.exp2(-SPACING * d2) * in_min)
-            m2_ref[...] += jax.lax.dot_general(
-                ohv, ohu, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
+            C = onehot(uu, iota_u, exact_exp2_neg(d2, SPACING) * in_min)
+            m2_ref[...] += accum(A, C)
         return 0
 
     jax.lax.fori_loop(0, chunks, pass_b, 0, unroll=False)
@@ -175,19 +186,18 @@ def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
     eps_total = scal_ref[0, 0] + zrange / (LEVELS * LEVELS)
 
     def pass_c(c, _):
-        vv, uu, zc, okc, _, _ = chunk_data(c)
-        sl = pl.ds(c * rows, rows)
+        vv, uu, zc, okc, _, _ = chunk_rows(c)
+        sl = pl.ds(c, 1)
 
         @pl.when(jnp.sum(okc) > 0)
         def _():
-            ohv = onehot(vv, iota_v, jnp.float32(1.0))
-            zpx = gather_cols(zb16, ohv, uu)
-            vis = okc * (zc <= zpx + eps_total).astype(f32)
-            vis_ref[sl, :] = vis.reshape(rows, LANES)
+            A = onehot(vv, iota_v, jnp.float32(1.0))
+            zpx = gather_row(zb16, A, uu, okc)
+            vis_ref[sl, :] = okc * (zc <= zpx + eps_total).astype(f32)
 
         @pl.when(jnp.logical_not(jnp.sum(okc) > 0))
         def _():
-            vis_ref[sl, :] = jnp.zeros((rows, LANES), f32)
+            vis_ref[sl, :] = jnp.zeros((1, CHUNK), f32)
         return 0
 
     jax.lax.fori_loop(0, chunks, pass_c, 0, unroll=False)

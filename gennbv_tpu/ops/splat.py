@@ -63,10 +63,27 @@ def splat_depth(
 
     if zbuf_impl == "pallas":
         # the whole radix-min + pool + visibility sequence fused in VMEM
-        # (ops/pallas_splat.py) — numerically identical to the mxu path
+        # (ops/pallas_splat.py) — numerically identical to the mxu path.
+        # Valid points are COMPACTED to the front first: the kernel skips
+        # all-invalid 128-point chunks (pl.when), so its matmul count
+        # scales with the valid fraction (typically ~20% — points behind
+        # the camera or out of frame) instead of the surf capacity.  The
+        # dense-GEMM mxu path below cannot exploit this sparsity.
         from gennbv_tpu.ops import pallas_splat
-        zbuf2d, visible = pallas_splat.zbuf_visible(
-            vic, uic, z, ok, voxel_eps, height, width, depth_max, footprint)
+        # stable partition via cumsums + one scatter (NOT argsort — TPU
+        # sorts are lane-serial and cost ~10x the kernel itself)
+        okf = ok.astype(jnp.int32)
+        nvalid = jnp.sum(okf)
+        pos = jnp.where(ok, jnp.cumsum(okf) - 1,
+                        nvalid + jnp.cumsum(1 - okf) - 1)   # target slot
+        vic_c = jnp.zeros_like(vic).at[pos].set(vic)
+        uic_c = jnp.zeros_like(uic).at[pos].set(uic)
+        z_c = jnp.zeros_like(z).at[pos].set(z)
+        ok_c = jnp.zeros_like(ok).at[pos].set(ok)
+        zbuf2d, vis_c = pallas_splat.zbuf_visible(
+            vic_c, uic_c, z_c, ok_c, voxel_eps,
+            height, width, depth_max, footprint)
+        visible = vis_c[pos]                                # gather back
         zbuf = zbuf2d.reshape(-1)
         fg = zbuf < depth_max - 1e-6
         return zbuf, fg, visible
