@@ -58,6 +58,22 @@ def _make_drone(cfg: Config = None):
     return DroneRobot(dcfg), dcfg
 
 
+def _make_legged(robot: str):
+    def factory(cfg: Config = None):
+        """Physics legged robot velocity task (legged_gym/env/base/
+        legged_robot.py:49 re-created TPU-native; robot parameter sets
+        from legged_gym/env/{a1,anymal_b,anymal_c,cassie}/)."""
+        from gennbv_tpu.env import legged_robot as lr
+        make = {"a1": lr.a1_config, "anymal_b": lr.anymal_b_config,
+                "anymal_c": lr.anymal_c_config,
+                "cassie": lr.cassie_config}[robot]
+        lcfg = make()
+        return lr.LeggedRobot(lcfg), lcfg
+    return factory
+
+
 register("train_gennbv", _make_train)
 register("eval_gennbv", _make_eval)
 register("drone_velocity", _make_drone)
+for _robot in ("a1", "anymal_b", "anymal_c", "cassie"):
+    register(f"{_robot}_velocity", _make_legged(_robot))

@@ -10,7 +10,10 @@ from gennbv_tpu.utils import normalizer
 
 class TestRegistry:
     def test_names(self):
-        assert registry.task_names() == ["eval_gennbv", "train_gennbv"]
+        assert registry.task_names() == [
+            "a1_velocity", "anymal_b_velocity", "anymal_c_velocity",
+            "cassie_velocity", "drone_velocity", "eval_gennbv",
+            "train_gennbv"]
 
     def test_make_env(self):
         cfg = apply_overrides(Config(), (
