@@ -17,6 +17,7 @@ import optax
 
 from gennbv_tpu.algo import replay_buffer as rb
 from gennbv_tpu.models.off_policy_nets import DiscreteQNet
+from gennbv_tpu.utils.jitutil import unjitted_step
 
 
 @dataclass(frozen=True)
@@ -98,7 +99,7 @@ class DQNRunner:
             eps = self._eps(st_.env_steps.astype(jnp.float32))
             take_rand = jax.random.uniform(r_e, greedy.shape) < eps
             actions = jnp.where(take_rand, rand, greedy)[:, None].astype(jnp.int32)
-            env_state, out = self.env.step(env_state, actions)
+            env_state, out = unjitted_step(self.env)(env_state, actions)
             buf_ = rb.add_batch(buf_, obs, actions, out.reward, out.obs,
                                 out.done, out.time_out)
             st_ = st_._replace(env_steps=st_.env_steps + self.num_envs)

@@ -27,6 +27,7 @@ import numpy as np
 
 from gennbv_tpu.models import distributions
 from gennbv_tpu.ops import backproject, camera, chamfer, render
+from gennbv_tpu.utils.jitutil import unjitted_step
 
 
 class EvalResult(NamedTuple):
@@ -99,7 +100,7 @@ def _eval_scan(env, model, variables, env_state, obs, point_stride: int,
             pts, valid = jax.vmap(acc_points_one)(env_state.scene_id, poses)
         else:
             pts = valid = jnp.zeros((), jnp.float32)
-        env_state, step_out = env.step(env_state, actions)
+        env_state, step_out = unjitted_step(env)(env_state, actions)
         rec = (step_out.reward, step_out.done, step_out.coverage, pts, valid)
         return (env_state, step_out.obs), rec
 

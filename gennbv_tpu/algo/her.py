@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from gennbv_tpu.algo import replay_buffer as rb
 from gennbv_tpu.algo.off_policy import OffPolicyConfig, OffPolicyLearner
+from gennbv_tpu.utils.jitutil import unjitted_step
 
 
 class EpisodeBuffer(NamedTuple):
@@ -205,7 +206,7 @@ class HERRunner:
                 minval=-cfg.max_action, maxval=cfg.max_action)
             a_pol = self.learner.explore(st.actor_params, obs, r_a)
             actions = jnp.where(random_policy, a_rand, a_pol)
-            env_state, out = env.step(env_state, actions)
+            env_state, out = unjitted_step(env)(env_state, actions)
             return (env_state, out.obs), (obs, actions, out.done, out.time_out)
 
         rngs = jax.random.split(r_scan, env.ep_length)

@@ -28,6 +28,7 @@ from gennbv_tpu.algo import replay_buffer as rb
 from gennbv_tpu.models.off_policy_nets import (DeterministicActor, QCritic,
                                                SquashedGaussianActor,
                                                squashed_sample)
+from gennbv_tpu.utils.jitutil import unjitted_step
 
 
 @dataclass(frozen=True)
@@ -241,7 +242,7 @@ class OffPolicyRunner:
                 minval=-cfg.max_action, maxval=cfg.max_action)
             a_pol = self.learner.explore(st_.actor_params, obs, r_p)
             actions = jnp.where(random_policy, a_rand, a_pol)
-            env_state, out = self.env.step(env_state, actions)
+            env_state, out = unjitted_step(self.env)(env_state, actions)
             buf_ = rb.add_batch(buf_, obs, actions, out.reward, out.obs,
                                 out.done, out.time_out)
             # gradient step(s)

@@ -25,6 +25,7 @@ from gennbv_tpu.algo import gae as gae_lib
 from gennbv_tpu.algo import ppo_continuous as ppoc
 from gennbv_tpu.models import gaussian
 from gennbv_tpu.models.actor_critic import GaussianActorCritic
+from gennbv_tpu.utils.jitutil import unjitted_step
 
 
 @dataclass(frozen=True)
@@ -67,7 +68,7 @@ class OnPolicyRunner:
             out = self.model.apply({"params": params}, obs)
             actions = gaussian.sample(out.mean, out.log_std, rng_t)
             logp = gaussian.log_prob(out.mean, out.log_std, actions)
-            env_state, step_out = self.env.step(env_state, actions)
+            env_state, step_out = unjitted_step(self.env)(env_state, actions)
             rec = (obs, actions, step_out.reward, step_out.done, out.value,
                    logp, out.mean, step_out.time_out)
             return (env_state, step_out.obs), rec

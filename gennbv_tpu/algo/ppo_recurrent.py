@@ -24,6 +24,7 @@ from gennbv_tpu.algo import ppo_continuous as ppoc
 from gennbv_tpu.models import gaussian
 from gennbv_tpu.models.actor_critic import (RecurrentActorCritic, RNNState,
                                             reset_hidden)
+from gennbv_tpu.utils.jitutil import unjitted_step
 
 
 class RecurrentRollout(NamedTuple):
@@ -49,7 +50,7 @@ def collect(model: RecurrentActorCritic, params, env, env_state, obs,
         (out, hidden) = model.apply({"params": params}, obs, hidden)
         actions = gaussian.sample(out.mean, out.log_std, rng_t)
         logp = gaussian.log_prob(out.mean, out.log_std, actions)
-        env_state, step_out = env.step(env_state, actions)
+        env_state, step_out = unjitted_step(env)(env_state, actions)
         hidden = reset_hidden(hidden, step_out.done)
         rec = (obs, actions, step_out.reward, step_out.done, out.value,
                logp, out.mean, step_out.time_out)

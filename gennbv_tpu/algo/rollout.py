@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from gennbv_tpu.models import distributions
+from gennbv_tpu.utils.jitutil import unjitted_step
 
 
 class RolloutBatch(NamedTuple):
@@ -52,12 +53,14 @@ def collect(
 ):
     """Returns (env_state', obs', batch: RolloutBatch, stats: RolloutStats)."""
 
+    env_step = unjitted_step(env)   # inline into the scan body's trace
+
     def step_fn(carry, rng_t):
         env_state, obs = carry
         out = model.apply(variables, obs, train=False)
         actions = distributions.sample(out.logits, rng_t)
         logp = distributions.log_prob(out.logits, actions)
-        env_state, step_out = env.step(env_state, actions)
+        env_state, step_out = env_step(env_state, actions)
         record = (
             obs.astype(obs_dtype), actions, step_out.reward, step_out.done,
             out.value, logp, step_out.time_out,

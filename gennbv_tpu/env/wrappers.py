@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from gennbv_tpu.utils import normalizer as norm_lib
+from gennbv_tpu.utils.jitutil import unjitted_step
 
 
 class WrapState(NamedTuple):
@@ -79,7 +80,7 @@ class NormalizeWrapper(_Wrapper):
         return WrapState(state, extra), out._replace(obs=obs)
 
     def step(self, ws: WrapState, actions):
-        state, out = self.env.step(ws.inner, actions)
+        state, out = unjitted_step(self.env)(ws.inner, actions)
         extra = dict(ws.extra)
         extra["obs"] = norm_lib.update(extra["obs"], out.obs)
         obs = norm_lib.normalize(extra["obs"], out.obs, self.clip_obs) \
@@ -116,7 +117,7 @@ class FrameStackWrapper(_Wrapper):
             obs=frames.reshape(num_envs, -1))
 
     def step(self, ws: WrapState, actions):
-        state, out = self.env.step(ws.inner, actions)
+        state, out = unjitted_step(self.env)(ws.inner, actions)
         frames = jnp.concatenate(
             [ws.extra[:, 1:], out.obs[:, None, :]], axis=1)
         # done: restart the stack from the post-reset frame
@@ -150,7 +151,7 @@ class MonitorWrapper(_Wrapper):
             out.obs, out.reward, out.done, out.time_out, z, z)
 
     def step(self, ws: WrapState, actions):
-        state, out = self.env.step(ws.inner, actions)
+        state, out = unjitted_step(self.env)(ws.inner, actions)
         ret = ws.extra["ret"] + out.reward
         ln = ws.extra["len"] + 1
         d = out.done
@@ -180,7 +181,7 @@ class CheckNanWrapper(_Wrapper):
             ~jnp.all(jnp.isfinite(out.obs), axis=-1))
 
     def step(self, ws: WrapState, actions):
-        state, out = self.env.step(ws.inner, actions)
+        state, out = unjitted_step(self.env)(ws.inner, actions)
         invalid = ~jnp.all(jnp.isfinite(out.obs), axis=-1) | ~jnp.isfinite(out.reward)
         return WrapState(state, ()), self.Output(
             out.obs, out.reward, out.done, out.time_out, invalid)
@@ -208,7 +209,7 @@ class ObsNoiseWrapper(_Wrapper):
         return WrapState(state, r_carry), out._replace(obs=obs)
 
     def step(self, ws: WrapState, actions):
-        state, out = self.env.step(ws.inner, actions)
+        state, out = unjitted_step(self.env)(ws.inner, actions)
         r_noise, r_carry = jax.random.split(ws.extra)
         obs = out.obs + self.noise_vec * jax.random.uniform(
             r_noise, out.obs.shape, minval=-1.0, maxval=1.0)
@@ -228,5 +229,5 @@ class ClipActionWrapper(_Wrapper):
         return WrapState(state, ()), out
 
     def step(self, ws: WrapState, actions):
-        state, out = self.env.step(ws.inner, jnp.clip(actions, self.lo, self.hi))
+        state, out = unjitted_step(self.env)(ws.inner, jnp.clip(actions, self.lo, self.hi))
         return WrapState(state, ()), out

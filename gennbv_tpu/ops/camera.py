@@ -21,8 +21,6 @@ pitch = +pi/2 therefore looks straight down (the reference init pose).
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,7 +60,6 @@ def camera_rays(height: int, width: int, horizontal_fov_deg: float) -> np.ndarra
     return pixel_grid(height, width) @ inv_k.T
 
 
-@jax.jit
 def pose_to_c2w(pose: jnp.ndarray, cam_z_offset: float = 0.1) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pose [..., 6] (x, y, z, roll=0, pitch, yaw) -> (R_c2w [..., 3, 3], t [..., 3]).
 
@@ -83,7 +80,6 @@ def pose_to_c2w(pose: jnp.ndarray, cam_z_offset: float = 0.1) -> tuple[jnp.ndarr
     return r, t
 
 
-@partial(jax.jit, static_argnames=("rgb_h", "rgb_w"))
 def depth_to_grayscale(depth: jnp.ndarray, depth_max: float, rgb_h: int, rgb_w: int) -> jnp.ndarray:
     """Stand-in for the reference RGB->64x64 grayscale chain
     (env_train_base.py:513-519).  The TPU renderer produces no RGB, so the
@@ -99,7 +95,6 @@ def depth_to_grayscale(depth: jnp.ndarray, depth_max: float, rgb_h: int, rgb_w: 
     return out
 
 
-@jax.jit
 def polar_to_cartesian(rtp: jnp.ndarray) -> jnp.ndarray:
     """(r, theta, phi) -> (x, y, z): the reference's
     position_use_polar_coordinates decode (env_train_base.py:688-693).
@@ -111,7 +106,6 @@ def polar_to_cartesian(rtp: jnp.ndarray) -> jnp.ndarray:
         axis=-1)
 
 
-@jax.jit
 def direction_to_rpy(d: jnp.ndarray) -> jnp.ndarray:
     """Direction vector (dx, dy, dz) -> (roll=0, pitch, yaw): the
     reference's direction_use_vector decode (env_train_base.py:696-706).

@@ -27,7 +27,6 @@ Both return a {0,1} "traversed" mask so the fused update is
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -74,31 +74,10 @@ def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
     return jnp.where(ohu, tmp, 0.0).sum(-1)
 
 
-def pixel_onehots(vi: jnp.ndarray, ui: jnp.ndarray, height: int,
-                  width: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """bf16 one-hot row/column matrices for per-point pixel ops — build once
-    and share between scatter_min_image and gather_image_oh."""
-    ohv = (vi[:, None] == jnp.arange(height, dtype=jnp.int32)[None, :]).astype(
-        jnp.bfloat16)                                            # [Q, V]
-    ohu = (ui[:, None] == jnp.arange(width, dtype=jnp.int32)[None, :]).astype(
-        jnp.bfloat16)                                            # [Q, U]
-    return ohv, ohu
-
-
-def gather_image_oh(img: jnp.ndarray, ohv: jnp.ndarray,
-                    ohu: jnp.ndarray) -> jnp.ndarray:
-    """img[vi, ui] via precomputed one-hots (single-plane bf16: for slack
-    comparisons; see gather_image for the exact hi/lo variant)."""
-    tmp = jnp.dot(ohv, img.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)            # [Q, U]
-    return jnp.where(ohu > 0, tmp, 0.0).sum(-1)
-
-
 def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
                       valid: jnp.ndarray, height: int, width: int,
                       z_default: float, levels: int = 10,
-                      spacing_bits: int = 12,
-                      onehots: tuple | None = None) -> jnp.ndarray:
+                      spacing_bits: int = 12) -> jnp.ndarray:
     """Per-pixel min of z over points — WITHOUT a scatter.
 
     XLA's scatter-min lowering costs ~30 ms at 256 envs x 11k points
@@ -116,6 +95,16 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
     (pixel, bucket) degrades gracefully to one bucket too low (more
     conservative visibility).
 
+    One-hot operands are REBUILT INLINE at every consumer rather than built
+    once and shared: XLA fuses the broadcast-compare into each dot's operand
+    stream, so the [Q, V]/[Q, U] bf16 planes never hit HBM.  Sharing them
+    (the former ``pixel_onehots``) materialized ~4.6 GB per 256-env step at
+    400^2 and re-streamed it per GEMM — serial-chained timing showed the
+    splat bandwidth-bound at 13x the inline form's cost, while the rebuilt
+    compares are VPU-cheap next to the MXU GEMMs they feed
+    (tools/bench_splat_forms.py; values are bit-identical, the radix sums
+    being order-independent exact powers of two).
+
     Returns (zbuf [height*width] f32 with `z_default` where no valid point,
     quantization step scalar).
     """
@@ -128,8 +117,8 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
     d1 = jnp.floor(t)
     d2 = jnp.floor((t - d1) * d_levels)
 
-    ohv, ohu = onehots if onehots is not None else pixel_onehots(
-        vi, ui, height, width)
+    iv = jnp.arange(height, dtype=jnp.int32)
+    iu = jnp.arange(width, dtype=jnp.int32)
     vf = valid.astype(jnp.float32)
 
     def encoded_min(d_digit, mask):
@@ -138,10 +127,14 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
         # a hi/lo split's lo plane would be identically zero.  Encode and
         # decode via exponent-field bit ops (exact_exp2_neg /
         # exact_min_digit): transcendental exp2/log2 are backend-dependent
-        # at exactly-power-of-two inputs.
+        # at exactly-power-of-two inputs.  The weighted one-hot is built
+        # directly (fold of *w into the compare) — one fused producer.
         w = exact_exp2_neg(d_digit, s) * mask                    # [Q] f32
-        m = jnp.dot(ohv.T * w.astype(jnp.bfloat16)[None, :], ohu,
-                    preferred_element_type=jnp.float32)          # [V, U]
+        a = jnp.where(vi[:, None] == iv[None, :], w[:, None],
+                      0.0).astype(jnp.bfloat16)                  # [Q, V]
+        c = (ui[:, None] == iu[None, :]).astype(jnp.bfloat16)    # [Q, U]
+        m = jax.lax.dot_general(a, c, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [V, U]
         have = m > 0.0
         digit = exact_min_digit(m, s, d_levels)
         return jnp.where(have, jnp.clip(digit, 0, d_levels - 1),
@@ -151,9 +144,7 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
 
     # per-point gather of the pixel's min coarse bucket (hi/lo not needed:
     # bucket ids are small integers, exact in bf16)
-    tmp = jnp.dot(ohv, m1.astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)            # [Q, U]
-    m1_at_q = jnp.where(ohu > 0, tmp, 0.0).sum(-1)               # [Q]
+    m1_at_q = gather_image(m1, vi, ui, exact=False)              # [Q]
     in_min_bucket = vf * (jnp.abs(d1 - m1_at_q) < 0.5)
 
     m2, have2 = encoded_min(d2, in_min_bucket)

@@ -203,8 +203,6 @@ def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
     jax.lax.fori_loop(0, chunks, pass_c, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width",
-                                             "footprint", "interpret"))
 def zbuf_visible(
     vi: jnp.ndarray,        # [Q] int32 clipped pixel rows
     ui: jnp.ndarray,        # [Q] int32 clipped pixel cols

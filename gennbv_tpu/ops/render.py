@@ -14,13 +14,10 @@ after the reference's nan/clamp/abs post-processing
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("grid_res", "max_steps"))
 def raymarch(
     occ_flat: jnp.ndarray,    # [R^3] occupancy (uint8/bool/float), flattened C-order
     box_lo: jnp.ndarray,      # [3] world min corner of the grid box

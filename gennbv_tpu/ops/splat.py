@@ -22,13 +22,10 @@ same half-voxel uncertainty as the DDA's first-hit estimate.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("height", "width", "footprint", "zbuf_impl"))
 def splat_depth(
     surf_pts: jnp.ndarray,    # [Q, 3] surface voxel centers (world)
     surf_mask: jnp.ndarray,   # [Q] bool (padding)
@@ -88,16 +85,14 @@ def splat_depth(
         fg = zbuf < depth_max - 1e-6
         return zbuf, fg, visible
 
-    oh = None
     if zbuf_impl == "mxu":
         # radix-min via MXU matmuls (ops/mxu.py): ~6x faster than XLA's
         # scatter-min lowering at training scale; zbuf quantized to 100
         # levels of the per-frame z range; the quantization step widens the
-        # visibility slack below.  One-hots are built once and shared with
-        # the visibility gather (same clipped pixel indices).
-        oh = mxu.pixel_onehots(vic, uic, height, width)
+        # visibility slack below.  One-hots are rebuilt inline inside every
+        # GEMM (never materialized to HBM) — see scatter_min_image's note.
         zbuf0, quant = mxu.scatter_min_image(
-            vic, uic, z, ok, height, width, depth_max, onehots=oh)
+            vic, uic, z, ok, height, width, depth_max)
         voxel_eps = voxel_eps + quant
     else:
         flat = vic * width + uic
@@ -129,10 +124,7 @@ def splat_depth(
     # and bf16's absolute error at scene depths (<= 16 m) is <= 0.0625 m —
     # the hi/lo exact split costs a second matmul (5.3 -> 2.8 ms measured).
     center_ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
-    if oh is not None:
-        z_at_px = mxu.gather_image_oh(zbuf.reshape(height, width), *oh)
-    else:
-        z_at_px = mxu.gather_image(
-            zbuf.reshape(height, width), vic, uic, exact=False)
+    z_at_px = mxu.gather_image(
+        zbuf.reshape(height, width), vic, uic, exact=False)
     visible = center_ok & (z <= z_at_px + voxel_eps)
     return zbuf, fg, visible

@@ -14,7 +14,6 @@ is unnecessary: the downstream scatter of 1.0 is idempotent.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +58,6 @@ def pose_to_voxel_idx(
     return jnp.floor((pos - lo) / voxel_size).astype(jnp.int32)
 
 
-@jax.jit
 def tri_cls(prob_grid: jnp.ndarray) -> jnp.ndarray:
     """{-1: free (<0.0), 0: unknown, 1: occupied (>0.5)} (utils.py:309-325)."""
     occ = (prob_grid > spec.TRI_CLS_THRESHOLD_OCC).astype(jnp.float32)
@@ -83,7 +81,6 @@ def scatter_hits(
     return mxu.scatter_cells_any(idx, valid, grid_shape)
 
 
-@jax.jit
 def coverage_update(
     scanned_gt: jnp.ndarray,   # [..., G, G, G]
     hit_grid: jnp.ndarray,     # [..., G, G, G] 0/1 hits this step

@@ -25,12 +25,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(name, fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def bench(name, fn, *args, iters=20, chain=1):
+    """Serial-chained timing: fold a scalar of each output into the float
+    operand at `chain` so the axon tunnel's pipelined dispatch cannot
+    overlap iterations (BENCHMARKS.md method notes)."""
+    args = list(args)
+    out = jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
+        s = jax.tree_util.tree_leaves(out)[0].reshape(-1)[0]
+        args[chain] = args[chain] + s.astype(jnp.float32) * 1e-30
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:44s} {dt:8.2f} ms", flush=True)
@@ -98,14 +103,21 @@ def main():
     print(f"op speedup: {t_m / t_p:.2f}x", flush=True)
 
     # ---- full env.step under each impl ----------------------------------
+    # carry the state through iterations: true data dependence, so the
+    # tunnel's pipelined dispatch cannot overlap steps
     results = {}
     for impl in ("mxu", "pallas"):
         e = ReconEnv(env_cfg(impl), scenes)
         s = e.init_state(num_envs)
         s, _ = jax.block_until_ready(e.step(s, actions))
-        results[impl] = bench(f"FULL env.step [{impl}]",
-                              lambda st, a, e=e: e.step(st, a)[1].obs,
-                              s, actions, iters=10)
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s, out = e.step(s, actions)
+        jax.block_until_ready(out.obs)
+        results[impl] = (time.perf_counter() - t0) / iters * 1e3
+        print(f"{'FULL env.step [' + impl + ']':44s} "
+              f"{results[impl]:8.2f} ms", flush=True)
     sp = results["mxu"] / results["pallas"]
     print(f"env.step speedup: {sp:.2f}x "
           f"({results['mxu']:.1f} -> {results['pallas']:.1f} ms; "
