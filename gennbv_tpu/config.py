@@ -39,6 +39,14 @@ class RendererConfig:
     # z-buffer builder: "mxu" = radix-min via MXU matmuls (ops/mxu.py,
     # ~6x faster, 100-level quantized); "scatter" = exact XLA scatter-min
     zbuf_impl: str = "mxu"
+    # survivor-compaction cap as a fraction of the surf capacity Q
+    # (splat.splat_depth_batch): a coarse cell-min cull bounds which points
+    # can affect the pooled z-buffer/visibility, survivors are front-packed
+    # and the fine GEMMs contract over cap*Q instead of Q — bit-identical
+    # output, with a dense fallback when any env overflows the cap.  None
+    # disables.  Pays off at large sensors (400x400) where the splat is
+    # MXU-compute-bound; at 128x128 the GEMMs are small enough already.
+    compact_cap_frac: Optional[float] = None
 
 
 @dataclass

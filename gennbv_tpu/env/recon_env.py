@@ -161,6 +161,21 @@ class ReconEnv:
             h, w, cfg.camera.depth_max, jnp.mean(render_vsize),
             cfg.renderer.footprint, cfg.renderer.zbuf_impl,
         )
+        return self._post_splat_one(scene_id, r_c2w, t_c2w, zbuf, visible,
+                                    prob_grid, scanned_gt)
+
+    def _post_splat_one(self, scene_id, r_c2w, t_c2w, zbuf, visible,
+                        prob_grid, scanned_gt):
+        """Mapping update from a rendered z-buffer + per-surf-point
+        visibility: hits, carving, coverage (one env)."""
+        cfg = self.cfg
+        g = self.scenes.grid_size
+        h, w = cfg.camera.height, cfg.camera.width
+        range_gt = self.scenes.range_gt[scene_id]
+        vsize = self.scenes.voxel_size[scene_id]
+        grid_gt = self.scenes.grid_gt[scene_id]
+        n_valid = self.scenes.num_valid_voxel[scene_id]
+        surf_pts = self.scenes.surf_pts[scene_id]
 
         idx, in_bounds = voxel.points_to_voxel_idx(surf_pts, visible, range_gt, vsize)
         hit_grid = voxel.scatter_hits(g, idx, in_bounds)
@@ -177,6 +192,29 @@ class ReconEnv:
         tri = voxel.tri_cls(prob_grid)
         scanned_gt, ratio = voxel.coverage_update(scanned_gt, hit_grid, grid_gt, n_valid)
         return zbuf, prob_grid, tri, scanned_gt, ratio
+
+    def _splat_step_batch(self, scene_id, poses, prob_grid, scanned_gt):
+        """Batched splat via the survivor-compacted fast path
+        (splat.splat_depth_batch; bit-identical to vmap(_splat_step_one)),
+        then the per-env mapping update."""
+        cfg = self.cfg
+        h, w = cfg.camera.height, cfg.camera.width
+        surf_pts = self.scenes.surf_pts[scene_id]          # [N, Q, 3]
+        surf_mask = self.scenes.surf_mask[scene_id]
+        render_vsize = (self.scenes.box_hi[scene_id] - self.scenes.box_lo[scene_id]) \
+            / self.scenes.grid_res
+        q = surf_pts.shape[1]
+        cap = int(-(-cfg.renderer.compact_cap_frac * q // 128) * 128)
+
+        r_c2w, t_c2w = jax.vmap(
+            lambda p: camera.pose_to_c2w(p, cfg.camera.z_offset))(poses)
+        zbuf, fg, visible = splat.splat_depth_batch(
+            surf_pts, surf_mask, self.intrinsics, r_c2w, t_c2w,
+            h, w, cfg.camera.depth_max, jnp.mean(render_vsize, axis=-1),
+            cfg.renderer.footprint, cfg.renderer.zbuf_impl, cap,
+        )
+        return jax.vmap(self._post_splat_one)(
+            scene_id, r_c2w, t_c2w, zbuf, visible, prob_grid, scanned_gt)
 
     def _render_one(self, scene_id, pose):
         """Depth + fg for one env (vmapped in step)."""
@@ -256,9 +294,14 @@ class ReconEnv:
 
         # render + map (vmapped over envs)
         if cfg.renderer.mode == "splat":
-            depth, prob_grid, tri, scanned_gt, ratio = jax.vmap(self._splat_step_one)(
-                state.scene_id, poses, state.prob_grid, state.scanned_gt
-            )
+            if cfg.renderer.compact_cap_frac is not None:
+                depth, prob_grid, tri, scanned_gt, ratio = self._splat_step_batch(
+                    state.scene_id, poses, state.prob_grid, state.scanned_gt
+                )
+            else:
+                depth, prob_grid, tri, scanned_gt, ratio = jax.vmap(self._splat_step_one)(
+                    state.scene_id, poses, state.prob_grid, state.scanned_gt
+                )
         else:
             if cfg.renderer.mode == "dda":
                 depth, fg, r_c2w, t_c2w = jax.vmap(self._render_one)(

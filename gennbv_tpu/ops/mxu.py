@@ -74,10 +74,62 @@ def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
     return jnp.where(ohu, tmp, 0.0).sum(-1)
 
 
+def encoded_min_image(vi: jnp.ndarray, ui: jnp.ndarray, d_digit: jnp.ndarray,
+                      mask: jnp.ndarray, height: int, width: int,
+                      spacing_bits: int, levels: int):
+    """One radix pass: per-pixel min of the integer digit `d_digit` over
+    the points with mask != 0, as a single MXU matmul.
+
+    w is 0 or an exact power of two (2^-s*digit, s*digit <= ~120, inside
+    bf16's exponent range), so single-plane bf16 is EXACT — a hi/lo
+    split's lo plane would be identically zero.  Encode and decode via
+    exponent-field bit ops (exact_exp2_neg / exact_min_digit):
+    transcendental exp2/log2 are backend-dependent at exactly-power-of-two
+    inputs.  The weighted one-hot is built directly (fold of *w into the
+    compare) — one fused producer per GEMM, never materialized to HBM.
+
+    Returns (digit image [height, width] f32 in [0, levels-1] — `levels`
+    where no masked point — and the `have` boolean image).  Exact while
+    per-(pixel, digit) counts < 2^spacing_bits; beyond that the digit
+    degrades one LOW.
+    """
+    iv = jnp.arange(height, dtype=jnp.int32)
+    iu = jnp.arange(width, dtype=jnp.int32)
+    w = exact_exp2_neg(d_digit, spacing_bits) * mask             # [Q] f32
+    a = jnp.where(vi[:, None] == iv[None, :], w[:, None],
+                  0.0).astype(jnp.bfloat16)                      # [Q, V]
+    c = (ui[:, None] == iu[None, :]).astype(jnp.bfloat16)        # [Q, U]
+    m = jax.lax.dot_general(a, c, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [V, U]
+    have = m > 0.0
+    digit = exact_min_digit(m, spacing_bits, levels)
+    return jnp.where(have, jnp.clip(digit, 0, levels - 1),
+                     jnp.float32(levels)), have
+
+
+def depth_digits(z: jnp.ndarray, valid: jnp.ndarray, levels: int,
+                 zminmax: tuple | None = None):
+    """Two-digit radix bucketing of depths over the per-call z range.
+    Returns (d1, d2, zmin, zrange).  Pass `zminmax` to bucket against an
+    externally fixed range (the compacted splat path must quantize
+    survivors on the ORIGINAL valid set's range to stay bit-identical)."""
+    if zminmax is None:
+        zmin = jnp.min(jnp.where(valid, z, jnp.inf))
+        zmax = jnp.max(jnp.where(valid, z, -jnp.inf))
+        zrange = jnp.maximum(zmax - zmin, 1e-3)
+    else:
+        zmin, zrange = zminmax
+    t = jnp.clip((z - zmin) / zrange * levels, 0.0, levels - 1e-3)
+    d1 = jnp.floor(t)
+    d2 = jnp.floor((t - d1) * levels)
+    return d1, d2, zmin, zrange
+
+
 def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
                       valid: jnp.ndarray, height: int, width: int,
                       z_default: float, levels: int = 10,
-                      spacing_bits: int = 12) -> jnp.ndarray:
+                      spacing_bits: int = 12,
+                      zminmax: tuple | None = None) -> jnp.ndarray:
     """Per-pixel min of z over points — WITHOUT a scatter.
 
     XLA's scatter-min lowering costs ~30 ms at 256 envs x 11k points
@@ -110,35 +162,12 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
     """
     s = spacing_bits
     d_levels = levels
-    zmin = jnp.min(jnp.where(valid, z, jnp.inf))
-    zmax = jnp.max(jnp.where(valid, z, -jnp.inf))
-    zrange = jnp.maximum(zmax - zmin, 1e-3)
-    t = jnp.clip((z - zmin) / zrange * d_levels, 0.0, d_levels - 1e-3)
-    d1 = jnp.floor(t)
-    d2 = jnp.floor((t - d1) * d_levels)
-
-    iv = jnp.arange(height, dtype=jnp.int32)
-    iu = jnp.arange(width, dtype=jnp.int32)
+    d1, d2, zmin, zrange = depth_digits(z, valid, d_levels, zminmax)
     vf = valid.astype(jnp.float32)
 
     def encoded_min(d_digit, mask):
-        # w is 0 or an exact power of two (2^-s*digit, s*digit <= 108 well
-        # inside bf16's exponent range), so single-plane bf16 is EXACT —
-        # a hi/lo split's lo plane would be identically zero.  Encode and
-        # decode via exponent-field bit ops (exact_exp2_neg /
-        # exact_min_digit): transcendental exp2/log2 are backend-dependent
-        # at exactly-power-of-two inputs.  The weighted one-hot is built
-        # directly (fold of *w into the compare) — one fused producer.
-        w = exact_exp2_neg(d_digit, s) * mask                    # [Q] f32
-        a = jnp.where(vi[:, None] == iv[None, :], w[:, None],
-                      0.0).astype(jnp.bfloat16)                  # [Q, V]
-        c = (ui[:, None] == iu[None, :]).astype(jnp.bfloat16)    # [Q, U]
-        m = jax.lax.dot_general(a, c, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [V, U]
-        have = m > 0.0
-        digit = exact_min_digit(m, s, d_levels)
-        return jnp.where(have, jnp.clip(digit, 0, d_levels - 1),
-                         jnp.float32(d_levels)), have
+        return encoded_min_image(vi, ui, d_digit, mask, height, width,
+                                 s, d_levels)
 
     m1, have1 = encoded_min(d1, vf)
 

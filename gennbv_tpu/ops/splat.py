@@ -25,6 +25,27 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from gennbv_tpu.ops import mxu
+
+
+def project_px(surf_pts, surf_mask, k, r_c2w, t_c2w, height: int, width: int):
+    """Project world points into the camera: returns (vic, uic, z, ok) —
+    clipped integer pixel coordinates, z-depth, and validity
+    (in-front & in-image & not padding)."""
+    # p_cam = R^T (p - t); z-depth = p_cam.z
+    p_cam = (surf_pts - t_c2w[None, :]) @ r_c2w  # == einsum('ij,pj->pi', R^T, .)
+    z = p_cam[:, 2]
+    in_front = (z > 1e-3) & surf_mask
+    safe_z = jnp.where(in_front, z, 1.0)
+    u = k[0, 0] * p_cam[:, 0] / safe_z + k[0, 2]
+    v = k[1, 1] * p_cam[:, 1] / safe_z + k[1, 2]
+    ui = jnp.floor(u).astype(jnp.int32)
+    vi = jnp.floor(v).astype(jnp.int32)
+    ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+    vic = jnp.clip(vi, 0, height - 1)
+    uic = jnp.clip(ui, 0, width - 1)
+    return vic, uic, z, ok
+
 
 def splat_depth(
     surf_pts: jnp.ndarray,    # [Q, 3] surface voxel centers (world)
@@ -41,22 +62,8 @@ def splat_depth(
                               # kernel, ops/pallas_splat.py) | "scatter" (exact)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (zbuf [H*W], fg [H*W] bool, visible [Q] bool)."""
-    from gennbv_tpu.ops import mxu
-
-    # project: p_cam = R^T (p - t); z-depth = p_cam.z
-    p_cam = (surf_pts - t_c2w[None, :]) @ r_c2w  # == einsum('ij,pj->pi', R^T, .)
-    z = p_cam[:, 2]
-    in_front = (z > 1e-3) & surf_mask
-    safe_z = jnp.where(in_front, z, 1.0)
-    u = k[0, 0] * p_cam[:, 0] / safe_z + k[0, 2]
-    v = k[1, 1] * p_cam[:, 1] / safe_z + k[1, 2]
-    ui = jnp.floor(u).astype(jnp.int32)
-    vi = jnp.floor(v).astype(jnp.int32)
-
-    big = jnp.asarray(depth_max, jnp.float32)
-    ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
-    vic = jnp.clip(vi, 0, height - 1)
-    uic = jnp.clip(ui, 0, width - 1)
+    vic, uic, z, ok = project_px(surf_pts, surf_mask, k, r_c2w, t_c2w,
+                                 height, width)
 
     if zbuf_impl == "pallas":
         # the whole radix-min + pool + visibility sequence fused in VMEM
@@ -85,6 +92,28 @@ def splat_depth(
         fg = zbuf < depth_max - 1e-6
         return zbuf, fg, visible
 
+    zbuf, visible = zbuf_vis_px(vic, uic, z, ok, height, width, depth_max,
+                                voxel_eps, footprint, zbuf_impl)
+    fg = zbuf < depth_max - 1e-6
+    return zbuf, fg, visible
+
+
+def zbuf_vis_px(
+    vic: jnp.ndarray,         # [Q] int32 clipped pixel rows
+    uic: jnp.ndarray,         # [Q] int32 clipped pixel cols
+    z: jnp.ndarray,           # [Q] f32 camera-space depth
+    ok: jnp.ndarray,          # [Q] bool valid (in-front & in-image)
+    height: int, width: int, depth_max: float,
+    voxel_eps: jnp.ndarray, footprint: int = 1, zbuf_impl: str = "mxu",
+    zminmax: tuple | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pooled z-buffer + per-point visibility from projected pixel
+    coordinates (one env).  The tail of splat_depth, shared with the
+    compacted batch path (splat_depth_batch), which must quantize the
+    survivor subset against the ORIGINAL valid set's z range (`zminmax`)
+    to stay bit-identical with the dense path."""
+    big = jnp.asarray(depth_max, jnp.float32)
+
     if zbuf_impl == "mxu":
         # radix-min via MXU matmuls (ops/mxu.py): ~6x faster than XLA's
         # scatter-min lowering at training scale; zbuf quantized to 100
@@ -92,7 +121,7 @@ def splat_depth(
         # visibility slack below.  One-hots are rebuilt inline inside every
         # GEMM (never materialized to HBM) — see scatter_min_image's note.
         zbuf0, quant = mxu.scatter_min_image(
-            vic, uic, z, ok, height, width, depth_max)
+            vic, uic, z, ok, height, width, depth_max, zminmax=zminmax)
         voxel_eps = voxel_eps + quant
     else:
         flat = vic * width + uic
@@ -114,8 +143,6 @@ def splat_depth(
     else:
         zbuf = zbuf0
 
-    fg = zbuf < depth_max - 1e-6
-
     # visibility: the voxel's own pixel shows (approximately) its depth.
     # The per-point image gather is the splat's hot op on TPU (30 ms at
     # 256 envs x 11k points as an XLA gather); use the one-hot MXU matmul
@@ -123,8 +150,184 @@ def splat_depth(
     # depth enters a slack comparison (voxel_eps >= render voxel ~0.16 m)
     # and bf16's absolute error at scene depths (<= 16 m) is <= 0.0625 m —
     # the hi/lo exact split costs a second matmul (5.3 -> 2.8 ms measured).
-    center_ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
     z_at_px = mxu.gather_image(
         zbuf.reshape(height, width), vic, uic, exact=False)
-    visible = center_ok & (z <= z_at_px + voxel_eps)
-    return zbuf, fg, visible
+    visible = ok & (z <= z_at_px + voxel_eps)
+    return zbuf, visible
+
+
+# ---------------------------------------------------------------------------
+# Compacted batch path: coarse-cull + survivor compaction (exact)
+# ---------------------------------------------------------------------------
+
+# Coarse radix parameters.  spacing 14 makes BOTH coarse passes exact for
+# any per-(cell, bucket) point count < 2^14 = 16384 — i.e. unconditionally
+# for surf capacities Q < 16384 — so the cull bound is a TRUE upper bound
+# of the cell minimum (the fine pass's 12-bit spacing can only degrade its
+# min LOW, which is conservative for visibility but would be UNSAFE for a
+# cull bound).  9 * 10 = 90 combined buckets; f32 exponent budget
+# 14 * 9 = 126 stays inside normals.
+_COARSE_L1 = 9
+_COARSE_L2 = 10
+_COARSE_SPACING = 14
+_COARSE_CELL = 2          # cell size in pixels
+
+
+def splat_depth_batch(
+    surf_pts: jnp.ndarray,    # [N, Q, 3] surface voxel centers (world)
+    surf_mask: jnp.ndarray,   # [N, Q] bool (padding)
+    k: jnp.ndarray,           # [3, 3] intrinsics (shared)
+    r_c2w: jnp.ndarray,       # [N, 3, 3]
+    t_c2w: jnp.ndarray,       # [N, 3]
+    height: int,
+    width: int,
+    depth_max: float,
+    voxel_eps: jnp.ndarray,   # [N] visibility slack per env
+    footprint: int = 1,
+    zbuf_impl: str = "mxu",
+    compact_cap: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched splat over N envs: (zbuf [N, H*W], fg [N, H*W], vis [N, Q]).
+
+    With ``compact_cap=None`` this is vmap(splat_depth).  With a cap C it
+    runs the FLOP-cut fast path — output bit-identical to the dense path:
+
+    1. **coarse cull**: an exact radix-min z-image over 2x2-pixel cells
+       (two overflow-free passes, see _COARSE_SPACING) gives each cell an
+       upper bound of its min depth; a point strictly beyond the 3x3-cell
+       max-pooled bound + slack can neither survive its own visibility
+       test (its pixel's pooled z-buffer is <= its cell neighborhood's
+       min) nor change any pooled z-buffer value (the winning point stays).
+    2. **compaction**: survivors are front-packed per env by one 3-operand
+       lax.sort and truncated to C — the 4 fine-pass GEMMs then contract
+       over C instead of Q.
+    3. **exact fine pass** on the survivors, quantized against the
+       ORIGINAL valid set's z range (zminmax) so values match the dense
+       path bit-for-bit; visibility is scattered back through the sort
+       permutation by a one-hot matmul.
+
+    If ANY env has more than C survivors the whole batch falls back to the
+    dense path inside one lax.cond (correctness never depends on the cap).
+    Requires Q < 16384 and height/width <= 512 (packing/overflow bounds) —
+    violations fall back to dense statically.
+    """
+    n, q = surf_mask.shape
+    use_compact = (compact_cap is not None and zbuf_impl == "mxu"
+                   and q < (1 << 14) and max(height, width) <= 512
+                   and compact_cap < q)
+
+    if not use_compact:
+        return jax.vmap(
+            lambda sp, sm, r, t, ve: splat_depth(
+                sp, sm, k, r, t, height, width, depth_max, ve,
+                footprint, zbuf_impl)
+        )(surf_pts, surf_mask, r_c2w, t_c2w, voxel_eps)
+
+    # shared projection
+    vic, uic, z, ok = jax.vmap(
+        lambda sp, sm, r, t: project_px(sp, sm, k, r, t, height, width)
+    )(surf_pts, surf_mask, r_c2w, t_c2w)
+
+    # per-env z range of the ORIGINAL valid set (min/max are rounding-free,
+    # so this matches scatter_min_image's internal derivation exactly)
+    zmin = jnp.min(jnp.where(ok, z, jnp.inf), axis=1)
+    zmax = jnp.max(jnp.where(ok, z, -jnp.inf), axis=1)
+    zrange = jnp.maximum(zmax - zmin, 1e-3)
+
+    def dense(vic, uic, z, ok, zmin, zrange):
+        def one(vic1, uic1, z1, ok1, zm, zr, ve):
+            return zbuf_vis_px(vic1, uic1, z1, ok1, height, width,
+                               depth_max, ve, footprint, "mxu",
+                               zminmax=(zm, zr))
+        return jax.vmap(one)(vic, uic, z, ok, zmin, zrange, voxel_eps)
+
+    cap = int(compact_cap)
+    ch = -(-height // _COARSE_CELL)
+    cw = -(-width // _COARSE_CELL)
+    cl = _COARSE_L1 * _COARSE_L2
+
+    # ---- 1. coarse cull bound --------------------------------------------
+    # combined coarse digit tc in [0, 90) against the same (zmin, zrange)
+    tc = jnp.clip((z - zmin[:, None]) / zrange[:, None] * cl, 0.0, cl - 1e-3)
+    dc1 = jnp.floor(tc / _COARSE_L2)
+    dc2 = jnp.floor(tc - dc1 * _COARSE_L2)
+    cv = vic // _COARSE_CELL
+    cu = uic // _COARSE_CELL
+
+    def coarse_one(cv1, cu1, dc11, dc21, ok1):
+        okf = ok1.astype(jnp.float32)
+        m1, have = mxu.encoded_min_image(cv1, cu1, dc11, okf, ch, cw,
+                                         _COARSE_SPACING, _COARSE_L1)
+        m1_at = mxu.gather_image(m1, cv1, cu1, exact=False)
+        in_min = okf * (jnp.abs(dc11 - m1_at) < 0.5)
+        m2, _ = mxu.encoded_min_image(cv1, cu1, dc21, in_min, ch, cw,
+                                      _COARSE_SPACING, _COARSE_L2)
+        # combined cell-min digit; empty cells get a huge digit (never the
+        # binding constraint after max-pool unless ALL 3x3 cells are empty,
+        # in which case no point maps there anyway)
+        d = jnp.where(have, m1 * _COARSE_L2 + m2, jnp.float32(4 * cl))
+        # 3x3 cell max-pool: a point's footprint touches pixels whose own
+        # cells lie within the 3x3 cell neighborhood
+        d = jax.lax.reduce_window(d, -jnp.inf, jax.lax.max,
+                                  (3, 3), (1, 1), "SAME")
+        return mxu.gather_image(d, cv1, cu1, exact=False)
+
+    bound_d = jax.vmap(coarse_one)(cv, cu, dc1, dc2, ok)     # [N, Q]
+
+    # keep iff t_p <= bound_digit + 2 + eps_digits: +1 for the bound
+    # bucket's own width, +1 absorbing every f32 rounding concern (one
+    # digit = ~1.1% of the z range >> ulp); eps covers the visibility
+    # slack incl. the fine pass's quantization step (zrange/100)
+    eps_total = voxel_eps + zrange / 100.0
+    eps_digits = eps_total / (zrange / cl)
+    keep = ok & (tc <= bound_d + 2.0 + eps_digits[:, None])
+
+    counts = jnp.sum(keep, axis=1)
+    overflow = jnp.any(counts > cap)
+
+    # ---- 2. compaction (front-pack survivors, one sort) -------------------
+    def compact_one(keep1, vic1, uic1, z1):
+        key = (~keep1).astype(jnp.uint32)
+        payload = ((vic1.astype(jnp.uint32) << 23)
+                   | (uic1.astype(jnp.uint32) << 14)
+                   | jnp.arange(q, dtype=jnp.uint32))
+        _, pay_s, z_s = jax.lax.sort((key, payload, z1), num_keys=1,
+                                     is_stable=True)
+        pay_c = pay_s[:cap]
+        return ((pay_c >> 23).astype(jnp.int32),
+                ((pay_c >> 14) & 0x1FF).astype(jnp.int32),
+                (pay_c & 0x3FFF).astype(jnp.int32),
+                z_s[:cap])
+
+    vic_c, uic_c, idx_c, z_c = jax.vmap(compact_one)(keep, vic, uic, z)
+    ok_c = jnp.arange(cap)[None, :] < counts[:, None]
+
+    # ---- 3. exact fine pass on survivors + scatter-back -------------------
+    def fast(operands):
+        vic_c, uic_c, idx_c, z_c, ok_c, zmin, zrange = operands
+
+        def fine_one(vic1, uic1, z1, ok1, zm, zr, ve):
+            return zbuf_vis_px(vic1, uic1, z1, ok1, height, width,
+                               depth_max, ve, footprint, "mxu",
+                               zminmax=(zm, zr))
+
+        zbuf, vis_c = jax.vmap(fine_one)(vic_c, uic_c, z_c, ok_c,
+                                         zmin, zrange, voxel_eps)
+
+        def scatter_back(idx1, vis1, ok1):
+            a = (vis1 & ok1)[None, :].astype(jnp.bfloat16)       # [1, C]
+            c = (idx1[:, None] == jnp.arange(q, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.bfloat16)                          # [C, Q]
+            return jnp.dot(a, c, preferred_element_type=jnp.float32)[0] > 0.5
+
+        vis = jax.vmap(scatter_back)(idx_c, vis_c, ok_c)
+        return zbuf, vis
+
+    def slow(operands):
+        del operands
+        return dense(vic, uic, z, ok, zmin, zrange)
+
+    zbuf, vis = jax.lax.cond(
+        overflow, slow, fast,
+        (vic_c, uic_c, idx_c, z_c, ok_c, zmin, zrange))
+    return zbuf, zbuf < depth_max - 1e-6, vis

@@ -142,3 +142,110 @@ def test_scatter_min_image_conflict_overflow_degrades_conservatively():
     ok = jnp.ones(q, bool)
     zb, quant = mxu.scatter_min_image(vi, ui, z, ok, h, w, 50.0)
     assert float(zb[0]) <= 10.0 + float(quant) * 1.01
+
+
+class TestSplatCompactBatch:
+    """splat_depth_batch's survivor-compacted fast path must be
+    BIT-IDENTICAL to the dense path (the cull bound is exact: a culled
+    point can neither pass visibility nor change the pooled z-buffer)."""
+
+    def _setup(self, n_envs=4, seed=0, h=48, w=64, q_bot=704,
+               q_behind=64):
+        """Synthetic batch: a visible top plane, a dense occluded slab well
+        below it (cullable), and points behind the camera (invalid)."""
+        rng = np.random.default_rng(seed)
+        k = jnp.asarray(camera.intrinsics(h, w, 90.0))
+        poses = np.stack([
+            [0, 0, 6.0, 0, np.pi / 2, 0],                      # exact top-down
+            *(np.array([0.3, -0.2, 6.0, 0, np.pi / 2 - 0.15, 0.4])
+              + 0.1 * rng.standard_normal((n_envs - 1, 6))),
+        ]).astype(np.float32)
+        r, t = jax.vmap(camera.pose_to_c2w)(jnp.asarray(poses))
+
+        # the top plane is a 24x24 GRID (spacing 0.2 m ~ 1.6 px at its
+        # depth < the 3x3 footprint), so it is hole-free: every slab point
+        # underneath is occluded in the exact top-down view
+        gx = (np.arange(24) - 11.5) * 0.2
+
+        def pts_one(rr):
+            top = np.stack(np.meshgrid(gx, gx, [2.0], indexing="ij"),
+                           -1).reshape(-1, 3)
+            bot = np.c_[rr.uniform(-2, 2, (q_bot, 2)),
+                        rr.uniform(0.3, 1.0, q_bot)]
+            beh = np.c_[rr.uniform(-2, 2, (q_behind, 2)),
+                        np.full(q_behind, 9.0)]                 # above cam
+            return np.concatenate([top, bot, beh]).astype(np.float32)
+
+        sp = jnp.asarray(np.stack([pts_one(np.random.default_rng(seed + i))
+                                   for i in range(n_envs)]))
+        sm = jnp.ones(sp.shape[:2], bool)
+        veps = jnp.full((n_envs,), 0.15, jnp.float32)
+        return sp, sm, k, r, t, h, w, veps
+
+    def _run(self, cap, **kw):
+        sp, sm, k, r, t, h, w, veps = self._setup(**kw)
+        dense = splat.splat_depth_batch(sp, sm, k, r, t, h, w, 50.0, veps,
+                                        1, "mxu", None)
+        fast = splat.splat_depth_batch(sp, sm, k, r, t, h, w, 50.0, veps,
+                                       1, "mxu", cap)
+        return dense, fast, sp.shape[1]
+
+    def test_fast_path_identical(self):
+        # cap 768 >> the 576-point visible plane + cull shell: the fast
+        # (compacted) branch runs.  visibility and fg must be EXACTLY
+        # equal; the zbuf is equal to 1 ulp (the radix DIGITS are
+        # bit-identical, but XLA may fuse the affine decode
+        # zmin + frac*zrange as an fma in one graph and not the other)
+        (zb_d, fg_d, vis_d), (zb_f, fg_f, vis_f), q = self._run(cap=768)
+        assert q == 576 + 704 + 64
+        assert int(np.array(vis_d).sum()) > 0
+        np.testing.assert_allclose(np.array(zb_d), np.array(zb_f), rtol=3e-7)
+        np.testing.assert_array_equal(np.array(fg_d), np.array(fg_f))
+        np.testing.assert_array_equal(np.array(vis_d), np.array(vis_f))
+
+    def test_overflow_falls_back_dense(self):
+        # a 128-slot cap is overrun by the visible plane alone -> the
+        # batch takes the dense branch and is trivially identical
+        (zb_d, _, vis_d), (zb_f, _, vis_f), _ = self._run(cap=128)
+        np.testing.assert_allclose(np.array(zb_d), np.array(zb_f), rtol=3e-7)
+        np.testing.assert_array_equal(np.array(vis_d), np.array(vis_f))
+
+    def test_cull_keeps_all_visible(self):
+        # the occluded slab must be invisible, the top plane visible —
+        # i.e. the cull bound never removes a point the dense path sees
+        sp, sm, k, r, t, h, w, veps = self._setup()
+        _, _, vis = splat.splat_depth_batch(sp, sm, k, r, t, h, w, 50.0,
+                                            veps, 1, "mxu", 768)
+        vis = np.array(vis)
+        # env 0 is the exact top-down view over the hole-free plane grid
+        assert vis[0, :576].mean() > 0.9, "top plane visible (env 0)"
+        assert not vis[0, 576:].any(), "occluded slab + behind-camera"
+
+    def test_env_step_compact_matches(self):
+        """Full env.step parity: compact_cap_frac on vs off (real scenes;
+        exercises overflow fallback and fast path across steps)."""
+        cfg = EnvConfig(
+            num_envs=4,
+            camera=CameraConfig(height=48, width=48),
+            renderer=RendererConfig(resolution=24),
+            scene=SceneConfig(num_scenes=4, seed=3),
+        )
+        cfg_c = dataclasses.replace(
+            cfg, renderer=dataclasses.replace(cfg.renderer,
+                                              compact_cap_frac=0.625))
+        scenes = make_scenes(cfg.scene, cfg.renderer.resolution)
+        env_a = ReconEnv(cfg, scenes)
+        env_b = ReconEnv(cfg_c, scenes)
+        state_a, out_a = env_a.reset(4)
+        state_b, out_b = env_b.reset(4)
+        np.testing.assert_array_equal(np.array(out_a.obs), np.array(out_b.obs))
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            acts = jnp.asarray(rng.integers(0, np.asarray(env_a.nvec), (4, 6)),
+                               jnp.int32)
+            state_a, out_a = env_a.step(state_a, acts)
+            state_b, out_b = env_b.step(state_b, acts)
+            np.testing.assert_array_equal(np.array(out_a.obs),
+                                          np.array(out_b.obs))
+            np.testing.assert_array_equal(np.array(out_a.reward),
+                                          np.array(out_b.reward))
