@@ -125,6 +125,21 @@ def depth_digits(z: jnp.ndarray, valid: jnp.ndarray, levels: int,
     return d1, d2, zmin, zrange
 
 
+def gather_image_int8(img_int: jnp.ndarray, vi: jnp.ndarray,
+                      ui: jnp.ndarray) -> jnp.ndarray:
+    """img[vi, ui] for a SMALL-INTEGER image (values in [0, 127]) via int8
+    one-hot matmuls — exact, and the MXU's int8 path runs at 2x its bf16
+    rate on v5e.  Returns f32 (the radix digit comparisons are float)."""
+    h, w = img_int.shape
+    ohv = (vi[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(
+        jnp.int8)
+    tmp = jax.lax.dot_general(ohv, img_int.astype(jnp.int8),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)  # [Q, W]
+    ohu = ui[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]
+    return jnp.where(ohu, tmp, 0).sum(-1).astype(jnp.float32)
+
+
 def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
                       valid: jnp.ndarray, height: int, width: int,
                       z_default: float, levels: int = 10,
@@ -171,9 +186,9 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
 
     m1, have1 = encoded_min(d1, vf)
 
-    # per-point gather of the pixel's min coarse bucket (hi/lo not needed:
-    # bucket ids are small integers, exact in bf16)
-    m1_at_q = gather_image(m1, vi, ui, exact=False)              # [Q]
+    # per-point gather of the pixel's min coarse bucket (bucket ids are
+    # small integers: int8 one-hot matmul, exact and 2x the bf16 MXU rate)
+    m1_at_q = gather_image_int8(m1, vi, ui)                      # [Q]
     in_min_bucket = vf * (jnp.abs(d1 - m1_at_q) < 0.5)
 
     m2, have2 = encoded_min(d2, in_min_bucket)

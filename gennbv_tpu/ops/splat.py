@@ -258,7 +258,7 @@ def splat_depth_batch(
         okf = ok1.astype(jnp.float32)
         m1, have = mxu.encoded_min_image(cv1, cu1, dc11, okf, ch, cw,
                                          _COARSE_SPACING, _COARSE_L1)
-        m1_at = mxu.gather_image(m1, cv1, cu1, exact=False)
+        m1_at = mxu.gather_image_int8(m1, cv1, cu1)
         in_min = okf * (jnp.abs(dc11 - m1_at) < 0.5)
         m2, _ = mxu.encoded_min_image(cv1, cu1, dc21, in_min, ch, cw,
                                       _COARSE_SPACING, _COARSE_L2)
