@@ -53,6 +53,22 @@ class TestRunner:
         assert np.isfinite(metrics["rollout/episode_reward"])
         assert np.isfinite(metrics["train/policy_gradient_loss"])
 
+    def test_multi_device_sharding_compact_splat(self, tmp_path):
+        """The survivor-compacted splat's batch-level lax.cond (a global
+        any() over per-env survivor counts) must compile and run under
+        env-axis sharding — GSPMD inserts the cross-shard all-reduce."""
+        assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+        cfg = tiny_config(num_envs=8, num_devices=8)
+        cfg = dataclasses.replace(
+            cfg, env=dataclasses.replace(
+                cfg.env, renderer=dataclasses.replace(
+                    cfg.env.renderer, compact_cap_frac=0.625)))
+        runner = Runner(cfg, log_dir=str(tmp_path / "run8c"))
+        metrics = runner.train(2, log=False)
+        runner.close()
+        assert np.isfinite(metrics["rollout/episode_reward"])
+        assert np.isfinite(metrics["train/policy_gradient_loss"])
+
     def test_single_vs_multi_device_equivalence(self, tmp_path):
         """Same seed, same config: 2 training iterations on 1 device vs 8
         devices must produce the same metrics (SURVEY §7 Phase 6).  The
