@@ -99,8 +99,14 @@ class Runner:
             opt_state=self.tx.init(variables["params"]),
         )
 
-        # device mesh: env axis sharded, params replicated (GSPMD)
-        if cfg.runner.num_slices > 1:
+        # device mesh: env axis sharded; params replicated (pure DP) or
+        # feature-sharded over a 'model' axis (TP, runner.model_axis > 1)
+        if cfg.runner.model_axis > 1:
+            assert cfg.runner.num_slices == 1, \
+                "model_axis and num_slices are mutually exclusive"
+            self.mesh = mesh_lib.make_mesh_tp(
+                cfg.runner.model_axis, cfg.runner.num_devices)
+        elif cfg.runner.num_slices > 1:
             self.mesh = mesh_lib.make_multislice_mesh(
                 cfg.runner.num_slices, cfg.runner.num_devices)
         else:
@@ -210,7 +216,12 @@ class Runner:
         if self.multi_device:
             env_state = mesh_lib.shard_env_tree(env_state, self.mesh)
             obs = jax.device_put(obs, mesh_lib.env_sharding(self.mesh))
-            self.train_state = mesh_lib.replicate_tree(self.train_state, self.mesh)
+            if mesh_lib.MODEL_AXIS in self.mesh.axis_names:
+                self.train_state = mesh_lib.shard_params_tp(
+                    self.train_state, self.mesh)
+            else:
+                self.train_state = mesh_lib.replicate_tree(
+                    self.train_state, self.mesh)
         return env_state, obs
 
     def train(self, num_iterations: Optional[int] = None, log: bool = True):

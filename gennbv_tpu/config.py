@@ -192,6 +192,10 @@ class RunnerConfig:
     # multi-slice: >1 builds a 2-D ('slice','env') mesh so the gradient
     # all-reduce goes hierarchically over ICI then DCN (parallel/mesh.py)
     num_slices: int = 1
+    # tensor parallelism: >1 builds a 2-D ('env','model') mesh and shards
+    # the policy's feature dimensions over the minor (contiguous-ICI) axis
+    # (parallel/mesh.py::make_mesh_tp / shard_params_tp)
+    model_axis: int = 1
     # write a jax.profiler trace of iteration 2 to this dir ("" = off)
     profile_dir: str = ""
     # training-loop pipelining: how many dispatched iterations may be in

@@ -69,6 +69,31 @@ class TestRunner:
         assert np.isfinite(metrics["rollout/episode_reward"])
         assert np.isfinite(metrics["train/policy_gradient_loss"])
 
+    def test_tensor_parallel_sharding(self, tmp_path):
+        """TP: 2-D ('env','model') mesh, policy feature dims sharded over
+        the model axis (parallel/mesh.py::shard_params_tp); two training
+        iterations must run and match the single-device run (GSPMD inserts
+        the activation resharding + gradient collectives)."""
+        assert len(jax.devices()) >= 8
+
+        def run(num_devices, model_axis):
+            cfg = tiny_config(num_envs=8, num_devices=num_devices)
+            cfg = dataclasses.replace(
+                cfg, runner=dataclasses.replace(cfg.runner,
+                                                model_axis=model_axis))
+            runner = Runner(cfg, log_dir=str(tmp_path / f"tp{model_axis}"))
+            metrics = runner.train(2, log=False)
+            runner.close()
+            return metrics
+
+        m1 = run(1, 1)
+        mtp = run(8, 2)   # env axis 4 x model axis 2
+        for k in ("rollout/episode_reward", "train/policy_gradient_loss",
+                  "train/value_loss", "train/approx_kl"):
+            np.testing.assert_allclose(
+                m1[k], mtp[k], rtol=2e-4, atol=2e-5,
+                err_msg=f"{k} diverged between 1-device and TP runs")
+
     def test_single_vs_multi_device_equivalence(self, tmp_path):
         """Same seed, same config: 2 training iterations on 1 device vs 8
         devices must produce the same metrics (SURVEY §7 Phase 6).  The
