@@ -103,6 +103,62 @@ class ReconEnv:
         self.obs_dim = (
             cfg.pose_buf_len * spec.ACTION_DIM + g ** 3 + cfg.rgb_k * cfg.rgb_h * cfg.rgb_w
         )
+        # Per-scene cache for the FORCED INIT VIEW (the deterministic
+        # top-down pose every freshly-reset env takes, spec.INIT_ACTION):
+        # those views see most of the scene (~0.9 Q valid), defeating every
+        # per-env-adaptive splat path (survivor caps, Pallas chunk
+        # skipping) on nearly every step — one fresh env per batch is
+        # enough.  The splat's DOWNSTREAM products (hit grid, carve mask,
+        # grayscale obs; ~8 MB for 256 scenes) are computed once per scene
+        # at construction and substituted for fresh envs; caching the raw
+        # z-buffer ([S, H*W] f32, 164 MB at 400^2) instead blows the axon
+        # remote-compile request limit when it becomes a jit constant.
+        self._init_cache = None
+        if cfg.renderer.mode == "splat" and self._use_splat_batch:
+            self._init_cache = self._build_init_step_cache()
+
+    @property
+    def _use_splat_batch(self) -> bool:
+        """Batched splat path (init-view cache + skip_env): on for survivor
+        compaction, and for the Pallas kernel — its per-env valid-chunk
+        skipping only pays off when the ~0.9-valid forced init views are
+        served from the cache instead."""
+        cfg = self.cfg
+        return (cfg.renderer.compact_cap_frac is not None
+                or cfg.renderer.zbuf_impl == "pallas")
+
+    def _build_init_step_cache(self):
+        """Run the dense splat + hits/carve for the forced init view of
+        every scene: (hit_grid [S, G^3] bool, traversed [S, G^3] bool,
+        gray [S, rgb_h, rgb_w] f32)."""
+        cfg = self.cfg
+        s = self.scenes.num_scenes
+        pose = self.init_action.astype(jnp.float32) * self.action_unit \
+            + self.pose_low
+        poses = jnp.broadcast_to(pose, (s, spec.ACTION_DIM))
+        sid = jnp.arange(s, dtype=jnp.int32)
+
+        @jax.jit
+        def build():
+            r_c2w, t_c2w = jax.vmap(
+                lambda p: camera.pose_to_c2w(p, cfg.camera.z_offset))(poses)
+            veps = jnp.mean(
+                (self.scenes.box_hi - self.scenes.box_lo)
+                / self.scenes.grid_res, axis=-1)
+            zbuf, _, vis = splat.splat_depth_batch(
+                self.scenes.surf_pts, self.scenes.surf_mask, self.intrinsics,
+                r_c2w, t_c2w, cfg.camera.height, cfg.camera.width,
+                cfg.camera.depth_max, veps, cfg.renderer.footprint,
+                cfg.renderer.zbuf_impl, None,
+            )
+            hit, trav = jax.vmap(self._hits_carve_one)(
+                sid, r_c2w, t_c2w, zbuf, vis)
+            gray = camera.depth_to_grayscale(
+                zbuf.reshape(s, cfg.camera.height, cfg.camera.width),
+                cfg.camera.depth_max, cfg.rgb_h, cfg.rgb_w)
+            return hit > 0.5, trav > 0.5, gray
+
+        return jax.block_until_ready(build())
 
     # ------------------------------------------------------------------
     def init_state(self, num_envs: int, scene_id: Optional[jnp.ndarray] = None) -> EnvState:
@@ -168,13 +224,19 @@ class ReconEnv:
                         prob_grid, scanned_gt):
         """Mapping update from a rendered z-buffer + per-surf-point
         visibility: hits, carving, coverage (one env)."""
+        hit_grid, traversed = self._hits_carve_one(
+            scene_id, r_c2w, t_c2w, zbuf, visible)
+        prob_grid, tri, scanned_gt, ratio = self._apply_mapping_one(
+            scene_id, hit_grid, traversed, prob_grid, scanned_gt)
+        return zbuf, prob_grid, tri, scanned_gt, ratio
+
+    def _hits_carve_one(self, scene_id, r_c2w, t_c2w, zbuf, visible):
+        """Visible surf points -> hit grid; z-test carve mask (one env)."""
         cfg = self.cfg
         g = self.scenes.grid_size
         h, w = cfg.camera.height, cfg.camera.width
         range_gt = self.scenes.range_gt[scene_id]
         vsize = self.scenes.voxel_size[scene_id]
-        grid_gt = self.scenes.grid_gt[scene_id]
-        n_valid = self.scenes.num_valid_voxel[scene_id]
         surf_pts = self.scenes.surf_pts[scene_id]
 
         idx, in_bounds = voxel.points_to_voxel_idx(surf_pts, visible, range_gt, vsize)
@@ -187,34 +249,59 @@ class ReconEnv:
             self.intrinsics, r_c2w, t_c2w, margin,
             depth_max=cfg.camera.depth_max,
         ).reshape(g, g, g)
+        return hit_grid, traversed
 
+    def _apply_mapping_one(self, scene_id, hit_grid, traversed,
+                           prob_grid, scanned_gt):
+        grid_gt = self.scenes.grid_gt[scene_id]
+        n_valid = self.scenes.num_valid_voxel[scene_id]
         prob_grid = carve.update_prob_grid(prob_grid, hit_grid, traversed)
         tri = voxel.tri_cls(prob_grid)
         scanned_gt, ratio = voxel.coverage_update(scanned_gt, hit_grid, grid_gt, n_valid)
-        return zbuf, prob_grid, tri, scanned_gt, ratio
+        return prob_grid, tri, scanned_gt, ratio
 
-    def _splat_step_batch(self, scene_id, poses, prob_grid, scanned_gt):
-        """Batched splat via the survivor-compacted fast path
-        (splat.splat_depth_batch; bit-identical to vmap(_splat_step_one)),
-        then the per-env mapping update."""
+    def _splat_step_batch(self, scene_id, poses, fresh, prob_grid, scanned_gt):
+        """Batched splat for the per-env-adaptive paths (survivor
+        compaction / Pallas chunk skipping), then the mapping update.
+        Freshly-reset envs (the forced init view) have all their points
+        masked out of the splat (skip_env) and their hit/carve/grayscale
+        products substituted from the per-scene cache — bit-compatible
+        with vmap(_splat_step_one) up to the documented 1-ulp decode
+        tolerance.  Returns (gray, prob_grid, tri, scanned_gt, ratio)."""
         cfg = self.cfg
         h, w = cfg.camera.height, cfg.camera.width
+        n = scene_id.shape[0]
         surf_pts = self.scenes.surf_pts[scene_id]          # [N, Q, 3]
         surf_mask = self.scenes.surf_mask[scene_id]
         render_vsize = (self.scenes.box_hi[scene_id] - self.scenes.box_lo[scene_id]) \
             / self.scenes.grid_res
         q = surf_pts.shape[1]
-        cap = int(-(-cfg.renderer.compact_cap_frac * q // 128) * 128)
+        cap = None
+        if cfg.renderer.compact_cap_frac is not None:
+            cap = int(-(-cfg.renderer.compact_cap_frac * q // 128) * 128)
 
         r_c2w, t_c2w = jax.vmap(
             lambda p: camera.pose_to_c2w(p, cfg.camera.z_offset))(poses)
-        zbuf, fg, visible = splat.splat_depth_batch(
+        zbuf, _, visible = splat.splat_depth_batch(
             surf_pts, surf_mask, self.intrinsics, r_c2w, t_c2w,
             h, w, cfg.camera.depth_max, jnp.mean(render_vsize, axis=-1),
             cfg.renderer.footprint, cfg.renderer.zbuf_impl, cap,
+            skip_env=fresh,
         )
-        return jax.vmap(self._post_splat_one)(
-            scene_id, r_c2w, t_c2w, zbuf, visible, prob_grid, scanned_gt)
+        hit, trav = jax.vmap(self._hits_carve_one)(
+            scene_id, r_c2w, t_c2w, zbuf, visible)
+        gray = camera.depth_to_grayscale(
+            zbuf.reshape(n, h, w), cfg.camera.depth_max, cfg.rgb_h, cfg.rgb_w)
+
+        c_hit, c_trav, c_gray = self._init_cache
+        f1 = fresh[:, None, None, None]
+        hit = jnp.where(f1, c_hit[scene_id].astype(hit.dtype), hit)
+        trav = jnp.where(f1, c_trav[scene_id].astype(trav.dtype), trav)
+        gray = jnp.where(fresh[:, None, None], c_gray[scene_id], gray)
+
+        prob_grid, tri, scanned_gt, ratio = jax.vmap(self._apply_mapping_one)(
+            scene_id, hit, trav, prob_grid, scanned_gt)
+        return gray, prob_grid, tri, scanned_gt, ratio
 
     def _render_one(self, scene_id, pose):
         """Depth + fg for one env (vmapped in step)."""
@@ -293,10 +380,12 @@ class ReconEnv:
         episode_len = state.episode_len + 1
 
         # render + map (vmapped over envs)
+        gray = None
         if cfg.renderer.mode == "splat":
-            if cfg.renderer.compact_cap_frac is not None:
-                depth, prob_grid, tri, scanned_gt, ratio = self._splat_step_batch(
-                    state.scene_id, poses, state.prob_grid, state.scanned_gt
+            if self._use_splat_batch:
+                gray, prob_grid, tri, scanned_gt, ratio = self._splat_step_batch(
+                    state.scene_id, poses, fresh[:, 0], state.prob_grid,
+                    state.scanned_gt
                 )
             else:
                 depth, prob_grid, tri, scanned_gt, ratio = jax.vmap(self._splat_step_one)(
@@ -319,10 +408,11 @@ class ReconEnv:
 
         # observation buffers
         pose_buf = jnp.concatenate([state.pose_buf[:, 1:], poses[:, None, :]], axis=1)
-        gray = camera.depth_to_grayscale(
-            depth.reshape(n, cfg.camera.height, cfg.camera.width),
-            cfg.camera.depth_max, cfg.rgb_h, cfg.rgb_w,
-        )
+        if gray is None:
+            gray = camera.depth_to_grayscale(
+                depth.reshape(n, cfg.camera.height, cfg.camera.width),
+                cfg.camera.depth_max, cfg.rgb_h, cfg.rgb_w,
+            )
         rgb_buf = jnp.concatenate([state.rgb_buf[:, 1:], gray[:, None]], axis=1)
 
         # rewards (scale * dt semantics, config.RewardConfig)

@@ -74,20 +74,37 @@ def splat_depth(
         # the camera or out of frame) instead of the surf capacity.  The
         # dense-GEMM mxu path below cannot exploit this sparsity.
         from gennbv_tpu.ops import pallas_splat
-        # stable partition via cumsums + one scatter (NOT argsort — TPU
-        # sorts are lane-serial and cost ~10x the kernel itself)
-        okf = ok.astype(jnp.int32)
-        nvalid = jnp.sum(okf)
-        pos = jnp.where(ok, jnp.cumsum(okf) - 1,
-                        nvalid + jnp.cumsum(1 - okf) - 1)   # target slot
-        vic_c = jnp.zeros_like(vic).at[pos].set(vic)
-        uic_c = jnp.zeros_like(uic).at[pos].set(uic)
-        z_c = jnp.zeros_like(z).at[pos].set(z)
-        ok_c = jnp.zeros_like(ok).at[pos].set(ok)
-        zbuf2d, vis_c = pallas_splat.zbuf_visible(
-            vic_c, uic_c, z_c, ok_c, voxel_eps,
-            height, width, depth_max, footprint)
-        visible = vis_c[pos]                                # gather back
+        # front-pack valid points with ONE 3-operand lax.sort (~1.5 ms at
+        # 256 envs x 11k points).  The previous cumsum + permutation-
+        # scatter partition cost ~100 ms at the same scale — XLA lowers
+        # the 1-D scatters to latency-bound loops (tools/bench_ragged.py)
+        # — and dominated the whole pallas path.
+        q = vic.shape[0]
+        if q < (1 << 14) and max(height, width) <= 512:
+            key = (~ok).astype(jnp.uint32)
+            payload = ((vic.astype(jnp.uint32) << 23)
+                       | (uic.astype(jnp.uint32) << 14)
+                       | jnp.arange(q, dtype=jnp.uint32))
+            key_s, pay_s, z_c = jax.lax.sort((key, payload, z), num_keys=1,
+                                             is_stable=True)
+            vic_c = (pay_s >> 23).astype(jnp.int32)
+            uic_c = ((pay_s >> 14) & 0x1FF).astype(jnp.int32)
+            idx_c = (pay_s & 0x3FFF).astype(jnp.int32)
+            ok_c = key_s == 0
+            zbuf2d, vis_c = pallas_splat.zbuf_visible(
+                vic_c, uic_c, z_c, ok_c, voxel_eps,
+                height, width, depth_max, footprint)
+            # scatter visibility back through the sort permutation with a
+            # one-hot matmul (exact; the XLA 1-D scatter is latency-bound)
+            a = (vis_c & ok_c)[None, :].astype(jnp.bfloat16)
+            c = (idx_c[:, None] == jnp.arange(q, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.bfloat16)
+            visible = jnp.dot(a, c, preferred_element_type=jnp.float32)[0] > 0.5
+        else:  # packing bounds exceeded: run the kernel uncompacted
+            zbuf2d, vis_c = pallas_splat.zbuf_visible(
+                vic, uic, z, ok, voxel_eps,
+                height, width, depth_max, footprint)
+            visible = vis_c
         zbuf = zbuf2d.reshape(-1)
         fg = zbuf < depth_max - 1e-6
         return zbuf, fg, visible
@@ -186,6 +203,11 @@ def splat_depth_batch(
     footprint: int = 1,
     zbuf_impl: str = "mxu",
     compact_cap: int | None = None,
+    skip_env: jnp.ndarray | None = None,   # [N] bool: envs whose outputs
+                                           # the caller will substitute (the
+                                           # forced-init render cache) — all
+                                           # their points are masked out, so
+                                           # adaptive paths skip their work
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched splat over N envs: (zbuf [N, H*W], fg [N, H*W], vis [N, Q]).
 
@@ -212,6 +234,8 @@ def splat_depth_batch(
     violations fall back to dense statically.
     """
     n, q = surf_mask.shape
+    if skip_env is not None:
+        surf_mask = surf_mask & ~skip_env[:, None]
     use_compact = (compact_cap is not None and zbuf_impl == "mxu"
                    and q < (1 << 14) and max(height, width) <= 512
                    and compact_cap < q)

@@ -66,7 +66,18 @@ def main():
           f"res={res} Q={scenes.surf_pts.shape[1]}", flush=True)
 
     state = env.init_state(num_envs)
-    actions = jnp.broadcast_to(env.init_action, (num_envs, 6))
+    if len(sys.argv) > 4 and sys.argv[4] == "random":
+        # training-distribution poses (valid fraction ~10%) instead of the
+        # forced init view (valid ~0.9): the Pallas kernel's per-env chunk
+        # skipping only pays off on the former; with the init-view render
+        # cache (recon_env._build_init_render_cache) the kernel never sees
+        # init views in training
+        rng_np = np.random.default_rng(0)
+        actions = jnp.asarray(
+            rng_np.integers(0, np.asarray(env.nvec), (num_envs, 6)),
+            jnp.int32)
+    else:
+        actions = jnp.broadcast_to(env.init_action, (num_envs, 6))
     poses = actions.astype(jnp.float32) * env.action_unit + env.pose_low
     r_c2w, t_c2w = jax.vmap(
         lambda p: camera.pose_to_c2w(p, env.cfg.camera.z_offset))(poses)
