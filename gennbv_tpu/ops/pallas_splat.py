@@ -1,30 +1,24 @@
 """Fused Pallas TPU kernel for the splat z-buffer + visibility pass.
 
 The mxu.py formulation (radix-min via exponent-encoded one-hot matmuls,
-ops/mxu.py:75-142) is algorithmically right for the MXU but leaves two
-costs on the table at large sensors (400x400, the reference's deployment
-camera — config_gennbv_train.py:23-35):
+ops/mxu.py) is dense: its GEMMs contract over the full surf capacity Q
+regardless of how many points are actually valid (in front + in frame) —
+at the training pose distribution that is ~10%.  This kernel processes
+points in groups and skips groups with no valid points (`pl.when`), so
+its matmul count scales with the VALID count; splat.py front-packs valid
+points first (one 3-operand lax.sort) to make the skippable tail
+contiguous.
 
-1. every one-hot operand ([Q, V]/[Q, U] bf16, ~9 MB per env at 400^2) is
-   materialized to HBM and re-streamed for each of the four GEMMs — XLA
-   does not fuse elementwise producers into dot operands;
-2. XLA pads both image dims to the 128-lane MXU granularity (400 -> 512),
-   a 1.64x FLOP tax.
-
-This kernel runs the ENTIRE sequence — digit encode, two radix passes,
-digit decode, 3x3 footprint min-pool, and the per-point visibility gather
-— in one pallas_call per env.  One-hot tiles are generated on the fly in
-VMEM from the int32 pixel indices (Q * 12 bytes of HBM traffic instead of
-~70 MB), and the z-buffer planes live in VMEM scratch.
-
-Mosaic layout discipline (learned from first-light: `tpu.reshape
-(1x2x128) -> (256x1)` is an unsupported lane->sublane cast): per-point
-data NEVER changes layout.  Points are processed 128 per chunk as [1, 128]
-LANE rows; one-hot tiles are [dim, 128] built by comparing the row against
-a sublane iota; the radix accumulation contracts the lane dim of both
-operands (A[h,p]·C[w,p] -> dot_general ((1,),(1,))), and the image gather
-is img·C ([H,W]x[W,128] -> [H,128]) followed by an elementwise mask and a
-sublane reduction back to a [1, 128] row.
+Mosaic layout discipline (learned from first-light): per-point data NEVER
+changes layout between lanes and sublanes (`tpu.reshape (1x2x128) ->
+(256x1)` is an unsupported cast, and so is lane-concatenating sublane
+slices).  Points therefore live as [1, CHUNK] LANE rows where CHUNK is
+512 — the per-point refs are reshaped to (Q/512, 512) OUTSIDE the
+kernel, so one row load IS the whole group and every tensor in the
+kernel keeps a [*, 512]-lane layout end to end.  Each radix pass issues
+one [dim, 512]-contraction dot_general per 512 points; the original
+128-lane version ran the MXU at ~5% utilization on [400, 128]-shaped
+products issued serially.
 
 Numerics are kept IDENTICAL to the mxu path: same digit/decode formulas,
 same bf16 one-hot products with f32 accumulation, same bf16 single-plane
@@ -43,8 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gennbv_tpu.ops.mxu import exact_exp2_neg, exact_min_digit
 
-LANES = 128
-CHUNK = 128            # points per chunk: one [1, 128] lane row
+CHUNK = 512            # points per lane row (one GEMM per row)
 LEVELS = 10            # radix digits per pass (10 -> 100 depth levels)
 SPACING = 12           # bits between digit weights: counts < 2^12 exact
 
@@ -87,23 +80,30 @@ def _decode_digit(m: jnp.ndarray) -> jnp.ndarray:
 def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
                   zbuf_ref, vis_ref, m1_ref, m2_ref,
                   *, height: int, width: int,
-                  footprint: int, chunks: int):
+                  footprint: int, groups: int):
     f32 = jnp.float32
     depth_max = scal_ref[0, 1]
+    # dynamic trip count: valid points are front-packed by the caller, so
+    # only the first ceil(nvalid / CHUNK) rows carry work — the loops run
+    # exactly those (the fixed per-iteration row loads + digit math over
+    # all-invalid groups dominated the kernel at ~10% valid)
+    nvalid = scal_ref[0, 2]
+    gdyn = jnp.clip(((nvalid + (CHUNK - 1)) // CHUNK).astype(jnp.int32),
+                    0, groups)
     # sublane iotas: row h of iota_v is h; row w of iota_u is w
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (height, CHUNK), 0)
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (width, CHUNK), 0)
 
     ok_all = ok_ref[...]
     z_all = z_ref[...]
-    # per-env depth range (ops/mxu.py:102-104)
+    # per-env depth range (ops/mxu.py)
     zmin = jnp.min(jnp.where(ok_all > 0, z_all, jnp.inf))
     zmax = jnp.max(jnp.where(ok_all > 0, z_all, -jnp.inf))
     zrange = jnp.maximum(zmax - zmin, 1e-3)
 
-    def chunk_rows(c):
-        """Per-point data for chunk c, all as [1, CHUNK] lane rows."""
-        sl = pl.ds(c, 1)
+    def group_rows(gi):
+        """Per-point data for group gi as [1, CHUNK] lane rows."""
+        sl = pl.ds(gi, 1)
         vv = vi_ref[sl, :]
         uu = ui_ref[sl, :]
         zc = z_ref[sl, :].astype(f32)
@@ -118,36 +118,36 @@ def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
         # Built in VMEM from the [1, CHUNK] index row — never touches HBM.
         return jnp.where(idx_row == iota, w_row, 0.0).astype(jnp.bfloat16)
 
-    def accum(A, C):
-        # m[h, w] += sum_p A[h, p] * C[w, p]: contract the lane dim of
-        # both one-hot tiles (A · C^T on the MXU)
+    def accum(a, c):
+        # m[h, w] += sum_p a[h, p] * c[w, p]: contract the lane dim of
+        # both one-hot tiles (a . c^T on the MXU)
         return jax.lax.dot_general(
-            A, C, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            a, c, (((1,), (1,)), ((), ())), preferred_element_type=f32)
 
-    def gather_row(img_bf16, A, uu, okc):
+    def gather_row(img_bf16, a, uu, okc):
         """img[vi_p, ui_p] per point as a [1, CHUNK] f32 row:
-        G = img · C_u ([H, W] x [W, CHUNK]), then mask by A and reduce
-        over sublanes (single-plane bf16, matching mxu.gather_image_oh)."""
+        G = img . C_u ([H, W] x [W, CHUNK]), then an elementwise mask by a
+        and a sublane reduction back to [1, CHUNK]."""
         cu = onehot(uu, iota_u, jnp.float32(1.0))
         g = jax.lax.dot_general(
             img_bf16, cu, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)                  # [H, CHUNK]
-        return jnp.sum(A.astype(f32) * g, axis=0, keepdims=True)
+        return jnp.sum(a.astype(f32) * g, axis=0, keepdims=True)
 
     # ---- pass A: encoded min of the coarse digit ----------------------
     m1_ref[...] = jnp.zeros((height, width), f32)
 
-    def pass_a(c, _):
-        vv, uu, _, okc, d1, _ = chunk_rows(c)
+    def pass_a(gi, _):
+        vv, uu, _, okc, d1, _ = group_rows(gi)
 
         @pl.when(jnp.sum(okc) > 0)
         def _():
-            A = onehot(vv, iota_v, jnp.float32(1.0))
-            C = onehot(uu, iota_u, exact_exp2_neg(d1, SPACING) * okc)
-            m1_ref[...] += accum(A, C)
+            a = onehot(vv, iota_v, jnp.float32(1.0))
+            c = onehot(uu, iota_u, exact_exp2_neg(d1, SPACING) * okc)
+            m1_ref[...] += accum(a, c)
         return 0
 
-    jax.lax.fori_loop(0, chunks, pass_a, 0, unroll=False)
+    jax.lax.fori_loop(0, gdyn, pass_a, 0, unroll=False)
     m1d = _decode_digit(m1_ref[...])
     m1_ref[...] = m1d                       # reuse the plane for the digits
 
@@ -155,24 +155,24 @@ def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
     m2_ref[...] = jnp.zeros((height, width), f32)
     m1d_bf16 = m1d.astype(jnp.bfloat16)     # digits <= 10: exact in bf16
 
-    def pass_b(c, _):
-        vv, uu, _, okc, d1, d2 = chunk_rows(c)
+    def pass_b(gi, _):
+        vv, uu, _, okc, d1, d2 = group_rows(gi)
 
         @pl.when(jnp.sum(okc) > 0)
         def _():
-            A = onehot(vv, iota_v, jnp.float32(1.0))
-            m1q = gather_row(m1d_bf16, A, uu, okc)
+            a = onehot(vv, iota_v, jnp.float32(1.0))
+            m1q = gather_row(m1d_bf16, a, uu, okc)
             in_min = okc * (jnp.abs(d1 - m1q) < 0.5).astype(f32)
-            C = onehot(uu, iota_u, exact_exp2_neg(d2, SPACING) * in_min)
-            m2_ref[...] += accum(A, C)
+            c = onehot(uu, iota_u, exact_exp2_neg(d2, SPACING) * in_min)
+            m2_ref[...] += accum(a, c)
         return 0
 
-    jax.lax.fori_loop(0, chunks, pass_b, 0, unroll=False)
+    jax.lax.fori_loop(0, gdyn, pass_b, 0, unroll=False)
 
     # ---- decode + footprint pool --------------------------------------
     m1d = m1_ref[...]
     m2d = _decode_digit(m2_ref[...])
-    # overflow fallback: no in-bucket point -> bucket midpoint
+    # overflow fallback: no in-bucket point -> the bucket midpoint
     sub = jnp.where(m2d < LEVELS, m2d + 0.5, 0.5 * LEVELS)
     frac = (m1d + sub / LEVELS) / LEVELS
     zq = zmin + frac * zrange
@@ -184,23 +184,20 @@ def _splat_kernel(vi_ref, ui_ref, z_ref, ok_ref, scal_ref,
     # ---- pass C: per-point visibility against the pooled z-buffer -----
     zb16 = zbuf.astype(jnp.bfloat16)
     eps_total = scal_ref[0, 0] + zrange / (LEVELS * LEVELS)
+    vis_ref[...] = jnp.zeros((groups, CHUNK), f32)   # rows beyond gdyn
 
-    def pass_c(c, _):
-        vv, uu, zc, okc, _, _ = chunk_rows(c)
-        sl = pl.ds(c, 1)
+    def pass_c(gi, _):
+        vv, uu, zc, okc, _, _ = group_rows(gi)
+        sl = pl.ds(gi, 1)
 
         @pl.when(jnp.sum(okc) > 0)
         def _():
-            A = onehot(vv, iota_v, jnp.float32(1.0))
-            zpx = gather_row(zb16, A, uu, okc)
+            a = onehot(vv, iota_v, jnp.float32(1.0))
+            zpx = gather_row(zb16, a, uu, okc)
             vis_ref[sl, :] = okc * (zc <= zpx + eps_total).astype(f32)
-
-        @pl.when(jnp.logical_not(jnp.sum(okc) > 0))
-        def _():
-            vis_ref[sl, :] = jnp.zeros((1, CHUNK), f32)
         return 0
 
-    jax.lax.fori_loop(0, chunks, pass_c, 0, unroll=False)
+    jax.lax.fori_loop(0, gdyn, pass_c, 0, unroll=False)
 
 
 def zbuf_visible(
@@ -211,10 +208,14 @@ def zbuf_visible(
     voxel_eps: jnp.ndarray, # scalar f32 visibility slack (pre-quantization)
     height: int, width: int, depth_max=50.0, footprint: int = 1,
     interpret: bool | None = None,
+    nvalid: jnp.ndarray | None = None,  # count of FRONT-PACKED valid points
+                                        # (None: scan all rows)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused z-buffer + visibility for one env.  Returns
     (zbuf [H, W] f32, visible [Q] bool).  vmap-compatible (the batch axis
-    becomes a pallas grid dimension)."""
+    becomes a pallas grid dimension).  Pass `nvalid` when valid points are
+    packed to the front: the kernel's loops then run only the occupied
+    rows."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     q = vi.shape[0]
@@ -225,17 +226,20 @@ def zbuf_visible(
         ui = jnp.pad(ui, (0, pad))
         z = jnp.pad(z, (0, pad), constant_values=1.0)
         ok = jnp.pad(ok, (0, pad))
-    qr = qp // LANES
+    qr = qp // CHUNK
     kernel = functools.partial(
         _splat_kernel, height=height, width=width, footprint=footprint,
-        chunks=qp // CHUNK)
+        groups=qr)
+    if nvalid is None:
+        nvalid = jnp.asarray(qp, jnp.float32)
     scal = jnp.stack([jnp.asarray(voxel_eps, jnp.float32).reshape(()),
-                      jnp.asarray(depth_max, jnp.float32).reshape(())]
-                     ).reshape(1, 2)
+                      jnp.asarray(depth_max, jnp.float32).reshape(()),
+                      jnp.asarray(nvalid, jnp.float32).reshape(())]
+                     ).reshape(1, 3)
     zbuf, vis = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((height, width), jnp.float32),
-                   jax.ShapeDtypeStruct((qr, LANES), jnp.float32)),
+                   jax.ShapeDtypeStruct((qr, CHUNK), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -243,7 +247,7 @@ def zbuf_visible(
         scratch_shapes=[pltpu.VMEM((height, width), jnp.float32),
                         pltpu.VMEM((height, width), jnp.float32)],
         interpret=interpret,
-    )(vi.reshape(qr, LANES), ui.reshape(qr, LANES),
-      z.reshape(qr, LANES), ok.astype(jnp.float32).reshape(qr, LANES),
+    )(vi.reshape(qr, CHUNK), ui.reshape(qr, CHUNK),
+      z.reshape(qr, CHUNK), ok.astype(jnp.float32).reshape(qr, CHUNK),
       scal)
     return zbuf, vis.reshape(-1)[:q] > 0.5

@@ -93,7 +93,8 @@ def splat_depth(
             ok_c = key_s == 0
             zbuf2d, vis_c = pallas_splat.zbuf_visible(
                 vic_c, uic_c, z_c, ok_c, voxel_eps,
-                height, width, depth_max, footprint)
+                height, width, depth_max, footprint,
+                nvalid=jnp.sum(ok_c))
             # scatter visibility back through the sort permutation with a
             # one-hot matmul (exact; the XLA 1-D scatter is latency-bound)
             a = (vis_c & ok_c)[None, :].astype(jnp.bfloat16)
