@@ -161,3 +161,30 @@ def test_episode_plotter(tmp_path):
         p.log_reward("coverage", 0.5)
     out = p.plot(str(tmp_path / "ep.png"))
     assert os.path.getsize(out) > 5000
+
+
+class TestJitUtil:
+    def test_unjitted_method_unwraps_and_falls_back(self):
+        """unjitted_step must return the raw bound method for jit-wrapped
+        step (no pjit sub-call inside outer jitted loops) and the plain
+        attribute when there is nothing to unwrap."""
+        import functools
+        import jax
+        from gennbv_tpu.utils.jitutil import unjitted_method, unjitted_step
+
+        class Jitted:
+            @functools.partial(jax.jit, static_argnums=0)
+            def step(self, x):
+                return x + 1
+
+        class Plain:
+            def step(self, x):
+                return x + 2
+
+        j = Jitted()
+        raw = unjitted_step(j)
+        assert raw.__func__ is Jitted.step.__wrapped__
+        assert int(raw(jnp.asarray(1))) == 2
+
+        p = Plain()
+        assert unjitted_method(p, "step")(jnp.asarray(1)) == 3
