@@ -47,6 +47,33 @@ class RendererConfig:
     # disables.  Pays off at large sensors (400x400) where the splat is
     # MXU-compute-bound; at 128x128 the GEMMs are small enough already.
     compact_cap_frac: Optional[float] = None
+    # row-banded splat (splat._zbuf_vis_banded_one): partition points by
+    # image row band and contract each band's radix/gather GEMMs over a
+    # per-band cap instead of the full surf capacity — FLOP cut = Q/cap
+    # (band count sets the cap granularity), bit-identical output, dense
+    # fallback when any band overflows.  Unlike the survivor cull this is
+    # a lossless partition: it needs no cullable occlusion structure, so
+    # it pays off wherever the splat is MXU-bound (the 400x400 sensor).
+    # Takes precedence over compact_cap_frac.  None = auto: B=8 at sensors
+    # >= 256 rows (measured 3.1x on the splat at 400^2; at 128^2 the bands'
+    # 16-row GEMMs pad away the win), off below.  0 forces off.
+    band_split: Optional[int] = None
+    # per-band cap as a fraction of Q (rounded up to a lane multiple).
+    # tools/probe_band_occupancy.py: the training pose distribution's
+    # batch-max band occupancy at B=8 is 0.40 (p90) / 0.46 (max) of Q, so
+    # 0.5 keeps the fast path on ~100% of steps; lower caps trade FLOPs
+    # against dense-fallback steps and measured slower (tools/bench_banded).
+    # B=16's nominal 4x FLOP cut also measured slower: 25-row band GEMMs
+    # pad the MXU M-dim away (56 vs 68-73 ms at 400^2).
+    band_cap_frac: float = 0.5
+
+    def band_split_for(self, height: int) -> Optional[int]:
+        """Effective band count at a given sensor height (auto default)."""
+        if self.band_split == 0:
+            return None
+        if self.band_split is not None:
+            return self.band_split
+        return 8 if height >= 256 and height % 8 == 0 else None
 
 
 @dataclass

@@ -125,6 +125,7 @@ class ReconEnv:
         served from the cache instead."""
         cfg = self.cfg
         return (cfg.renderer.compact_cap_frac is not None
+                or cfg.renderer.band_split_for(cfg.camera.height) is not None
                 or cfg.renderer.zbuf_impl == "pallas")
 
     def _build_init_step_cache(self):
@@ -279,6 +280,10 @@ class ReconEnv:
         cap = None
         if cfg.renderer.compact_cap_frac is not None:
             cap = int(-(-cfg.renderer.compact_cap_frac * q // 128) * 128)
+        band_split = cfg.renderer.band_split_for(h)
+        band_cap = None
+        if band_split is not None:
+            band_cap = int(-(-cfg.renderer.band_cap_frac * q // 128) * 128)
 
         r_c2w, t_c2w = jax.vmap(
             lambda p: camera.pose_to_c2w(p, cfg.camera.z_offset))(poses)
@@ -287,6 +292,7 @@ class ReconEnv:
             h, w, cfg.camera.depth_max, jnp.mean(render_vsize, axis=-1),
             cfg.renderer.footprint, cfg.renderer.zbuf_impl, cap,
             skip_env=fresh,
+            band_split=band_split, band_cap=band_cap,
         )
         hit, trav = jax.vmap(self._hits_carve_one)(
             scene_id, r_c2w, t_c2w, zbuf, visible)

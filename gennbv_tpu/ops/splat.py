@@ -175,6 +175,136 @@ def zbuf_vis_px(
 
 
 # ---------------------------------------------------------------------------
+# Row-banded batch path: per-band GEMMs (exact, B-fold FLOP cut)
+# ---------------------------------------------------------------------------
+
+# radix parameters of the fine pass — must match scatter_min_image's
+# defaults (levels=10, spacing_bits=12) for bit-identity with the dense path
+_FINE_LEVELS = 10
+_FINE_SPACING = 12
+
+
+def _slice_bands(arr: jnp.ndarray, starts: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """[B] contiguous length-`cap` slices from a 1-D array (padded so
+    starts+cap never clamps).  Batched dynamic_slice lowers to a
+    contiguous-block gather on TPU."""
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(arr, (s,), (cap,)))(starts)
+
+
+def _zbuf_vis_banded_one(vic, uic, z, ok, height: int, width: int,
+                         depth_max: float, voxel_eps, footprint: int,
+                         bands: int, cap: int, zminmax):
+    """Row-banded z-buffer + visibility for ONE env — bit-identical radix
+    digits to zbuf_vis_px(zbuf_impl="mxu").
+
+    The dense mxu path's four GEMMs each contract every point against the
+    FULL image height (2*Q*H*W FLOPs).  A point only ever touches its own
+    pixel row (the footprint is applied afterwards by pooling the
+    assembled image), so partitioning points by row band and running each
+    band's GEMMs against its own H/B rows cuts the FLOPs to 2*(B*cap)*
+    (H/B)*W = (cap/Q)-fraction of dense — with identical per-pixel point
+    sets, hence identical radix sums (order-independent exact powers of
+    two) and identical quantization (digits bucketed against the env-
+    global z range passed in as `zminmax`).
+
+    Caller guarantees no band holds more than `cap` valid points (the
+    batch wrapper lax.cond's to the dense path otherwise).
+    """
+    q = vic.shape[0]
+    rpb = height // bands
+    zmin, zrange = zminmax
+    big = jnp.asarray(depth_max, jnp.float32)
+
+    # ---- sort by band (invalid -> sentinel band B), front-packing each
+    # band's points into a contiguous segment; one 3-operand sort, the
+    # same machinery as the compacted path (see splat_depth's note on why
+    # sort beats cumsum+scatter partitioning on TPU)
+    band = jnp.where(ok, vic // rpb, bands).astype(jnp.uint32)
+    payload = ((vic.astype(jnp.uint32) << 23)
+               | (uic.astype(jnp.uint32) << 14)
+               | jnp.arange(q, dtype=jnp.uint32))
+    _, pay_s, z_s = jax.lax.sort((band, payload, z), num_keys=1,
+                                 is_stable=True)
+    counts = jnp.sum(band[None, :] == jnp.arange(bands, dtype=jnp.uint32)[:, None],
+                     axis=1).astype(jnp.int32)                      # [B]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(counts)[:-1]])             # [B]
+
+    # pad by cap so dynamic_slice never clamps (clamped starts would
+    # silently misalign a band's slots)
+    pad_u = jnp.zeros(cap, jnp.uint32)
+    pay_p = jnp.concatenate([pay_s, pad_u])
+    z_p = jnp.concatenate([z_s, jnp.full(cap, big)])
+
+    pay_b = _slice_bands(pay_p, starts, cap)                        # [B, C]
+    z_b = _slice_bands(z_p, starts, cap)
+    ok_b = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    vic_b = (pay_b >> 23).astype(jnp.int32)
+    uic_b = ((pay_b >> 14) & 0x1FF).astype(jnp.int32)
+    idx_b = (pay_b & 0x3FFF).astype(jnp.int32)
+    # band-local rows; masked slots hold neighbor-band points whose local
+    # row may be out of range — clip (their mask zeroes every use)
+    vic_l = jnp.clip(vic_b - jnp.arange(bands, dtype=jnp.int32)[:, None] * rpb,
+                     0, rpb - 1)
+
+    # digits are a pure function of (z, global zminmax): recompute after
+    # the sort instead of carrying two more sort operands
+    d1, d2, _, _ = mxu.depth_digits(z_b, ok_b, _FINE_LEVELS,
+                                    zminmax=(zmin, zrange))
+
+    # ---- per-band fine radix-min over the band's own rows
+    def fine_band(vic1, uic1, d11, d21, ok1):
+        okf = ok1.astype(jnp.float32)
+        m1, have1 = mxu.encoded_min_image(vic1, uic1, d11, okf, rpb, width,
+                                          _FINE_SPACING, _FINE_LEVELS)
+        m1_at = mxu.gather_image_int8(m1, vic1, uic1)
+        in_min = okf * (jnp.abs(d11 - m1_at) < 0.5)
+        m2, have2 = mxu.encoded_min_image(vic1, uic1, d21, in_min, rpb, width,
+                                          _FINE_SPACING, _FINE_LEVELS)
+        sub = jnp.where(have2, m2 + 0.5, 0.5 * _FINE_LEVELS)
+        frac = (m1 + sub / _FINE_LEVELS) / _FINE_LEVELS
+        zq = zmin + frac * zrange
+        return jnp.where(have1, zq, big)                            # [rpb, W]
+
+    zbuf0 = jax.vmap(fine_band)(vic_l, uic_b, d1, d2, ok_b
+                                ).reshape(height, width)
+
+    # ---- footprint pool on the ASSEMBLED image (crosses band edges, same
+    # as dense); separable min (see zbuf_vis_px)
+    if footprint > 0:
+        k2 = 2 * footprint + 1
+        z2d = jax.lax.reduce_window(zbuf0, big, jax.lax.min, (k2, 1), (1, 1), "SAME")
+        z2d = jax.lax.reduce_window(z2d, big, jax.lax.min, (1, k2), (1, 1), "SAME")
+    else:
+        z2d = zbuf0
+
+    # ---- band-local visibility gather from the pooled image's band rows
+    veps = voxel_eps + zrange / (_FINE_LEVELS * _FINE_LEVELS)
+    zb_rows = z2d.reshape(bands, rpb, width)
+
+    def vis_band(zimg, vic1, uic1, z1, ok1):
+        z_at = mxu.gather_image(zimg, vic1, uic1, exact=False)
+        return ok1 & (z1 <= z_at + veps)
+
+    vis_b = jax.vmap(vis_band)(zb_rows, vic_l, uic_b, z_b, ok_b)    # [B, C]
+
+    # ---- scatter back to original point order: ordered per-band window
+    # writes into the packed layout (band b+1's window starts inside band
+    # b's masked tail, so ascending writes leave every packed slot holding
+    # its own band's value), then one 2-operand sort inverts the pack
+    vis_packed = jnp.zeros(q + cap, jnp.int32)
+    for b in range(bands):      # static trip count
+        vis_packed = jax.lax.dynamic_update_slice(
+            vis_packed, vis_b[b].astype(jnp.int32), (starts[b],))
+    idx_all = (pay_s & 0x3FFF).astype(jnp.int32)
+    _, vis_sorted = jax.lax.sort((idx_all, vis_packed[:q]), num_keys=1)
+    visible = vis_sorted > 0
+
+    return z2d.reshape(-1), visible
+
+
+# ---------------------------------------------------------------------------
 # Compacted batch path: coarse-cull + survivor compaction (exact)
 # ---------------------------------------------------------------------------
 
@@ -209,6 +339,8 @@ def splat_depth_batch(
                                            # forced-init render cache) — all
                                            # their points are masked out, so
                                            # adaptive paths skip their work
+    band_split: int | None = None,         # row bands B for the banded path
+    band_cap: int | None = None,           # per-band point cap C
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched splat over N envs: (zbuf [N, H*W], fg [N, H*W], vis [N, Q]).
 
@@ -237,9 +369,50 @@ def splat_depth_batch(
     n, q = surf_mask.shape
     if skip_env is not None:
         surf_mask = surf_mask & ~skip_env[:, None]
-    use_compact = (compact_cap is not None and zbuf_impl == "mxu"
+    use_banded = (band_split is not None and zbuf_impl == "mxu"
+                  and q < (1 << 14) and max(height, width) <= 512
+                  and height % band_split == 0
+                  and band_cap is not None and band_cap < q)
+    use_compact = (not use_banded
+                   and compact_cap is not None and zbuf_impl == "mxu"
                    and q < (1 << 14) and max(height, width) <= 512
                    and compact_cap < q)
+
+    if use_banded:
+        vic, uic, z, ok = jax.vmap(
+            lambda sp, sm, r, t: project_px(sp, sm, k, r, t, height, width)
+        )(surf_pts, surf_mask, r_c2w, t_c2w)
+        # env-global z range of the ORIGINAL valid set — same derivation as
+        # scatter_min_image's internal one, so quantization is bit-identical
+        zmin = jnp.min(jnp.where(ok, z, jnp.inf), axis=1)
+        zmax = jnp.max(jnp.where(ok, z, -jnp.inf), axis=1)
+        zrange = jnp.maximum(zmax - zmin, 1e-3)
+
+        # overflow predicate from band counts alone — the sort and the
+        # fine pass run only inside the fast branch
+        rpb = height // band_split
+        band = jnp.where(ok, vic // rpb, band_split)
+        counts = jnp.sum(
+            band[:, None, :] == jnp.arange(band_split, dtype=jnp.int32)[None, :, None],
+            axis=2)                                                  # [N, B]
+        overflow = jnp.any(counts > band_cap)
+
+        def banded_all(_):
+            return jax.vmap(
+                lambda v, u, zz, o, zm, zr, ve: _zbuf_vis_banded_one(
+                    v, u, zz, o, height, width, depth_max, ve, footprint,
+                    band_split, band_cap, (zm, zr))
+            )(vic, uic, z, ok, zmin, zrange, voxel_eps)
+
+        def dense_all(_):
+            def one(vic1, uic1, z1, ok1, zm, zr, ve):
+                return zbuf_vis_px(vic1, uic1, z1, ok1, height, width,
+                                   depth_max, ve, footprint, "mxu",
+                                   zminmax=(zm, zr))
+            return jax.vmap(one)(vic, uic, z, ok, zmin, zrange, voxel_eps)
+
+        zbuf, vis = jax.lax.cond(overflow, dense_all, banded_all, ())
+        return zbuf, zbuf < depth_max - 1e-6, vis
 
     if not use_compact:
         return jax.vmap(

@@ -249,3 +249,64 @@ class TestSplatCompactBatch:
                                           np.array(out_b.obs))
             np.testing.assert_array_equal(np.array(out_a.reward),
                                           np.array(out_b.reward))
+
+
+class TestSplatBandedBatch:
+    """Row-banded splat path (renderer.band_split): per-band GEMMs must be
+    bit-identical to the dense path — the banding is a lossless partition
+    of points by their own pixel row (footprint pooling happens on the
+    assembled image either way), so every pixel sees the same point set
+    and the same radix quantization."""
+
+    _setup = TestSplatCompactBatch._setup
+
+    def _run_banded(self, bands, cap, **kw):
+        sp, sm, k, r, t, h, w, veps = self._setup(**kw)
+        dense = splat.splat_depth_batch(sp, sm, k, r, t, h, w, 50.0, veps,
+                                        1, "mxu", None)
+        fast = splat.splat_depth_batch(sp, sm, k, r, t, h, w, 50.0, veps,
+                                       1, "mxu", None,
+                                       band_split=bands, band_cap=cap)
+        return dense, fast
+
+    def test_banded_identical(self):
+        # h=48 / 6 bands of 8 rows; cap 640 fits the densest band
+        (zb_d, fg_d, vis_d), (zb_f, fg_f, vis_f) = self._run_banded(6, 640)
+        assert int(np.array(vis_d).sum()) > 0
+        np.testing.assert_allclose(np.array(zb_d), np.array(zb_f), rtol=3e-7)
+        np.testing.assert_array_equal(np.array(fg_d), np.array(fg_f))
+        np.testing.assert_array_equal(np.array(vis_d), np.array(vis_f))
+
+    def test_banded_overflow_falls_back_dense(self):
+        # a 64-slot cap is overrun by the central bands -> dense branch
+        (zb_d, _, vis_d), (zb_f, _, vis_f) = self._run_banded(6, 64)
+        np.testing.assert_allclose(np.array(zb_d), np.array(zb_f), rtol=3e-7)
+        np.testing.assert_array_equal(np.array(vis_d), np.array(vis_f))
+
+    def test_env_step_banded_matches(self):
+        """Full env.step parity: band_split on vs off (real scenes,
+        init-view cache engaged, overflow fallback reachable)."""
+        cfg = EnvConfig(
+            num_envs=4,
+            camera=CameraConfig(height=48, width=48),
+            renderer=RendererConfig(resolution=24),
+            scene=SceneConfig(num_scenes=4, seed=3),
+        )
+        cfg_b = dataclasses.replace(
+            cfg, renderer=dataclasses.replace(cfg.renderer,
+                                              band_split=6,
+                                              band_cap_frac=0.5))
+        scenes = make_scenes(cfg.scene, cfg.renderer.resolution)
+        env_a = ReconEnv(cfg, scenes)
+        env_b = ReconEnv(cfg_b, scenes)
+        state_a, out_a = env_a.reset(4)
+        state_b, out_b = env_b.reset(4)
+        np.testing.assert_array_equal(np.array(out_a.obs), np.array(out_b.obs))
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            acts = jnp.asarray(rng.integers(0, np.asarray(env_a.nvec), (4, 6)),
+                               jnp.int32)
+            state_a, out_a = env_a.step(state_a, acts)
+            state_b, out_b = env_b.step(state_b, acts)
+            np.testing.assert_array_equal(np.array(out_a.obs),
+                                          np.array(out_b.obs))
