@@ -68,11 +68,15 @@ class RendererConfig:
     band_cap_frac: float = 0.5
 
     def band_split_for(self, height: int) -> Optional[int]:
-        """Effective band count at a given sensor height (auto default)."""
+        """Effective band count at a given sensor height (auto default).
+        An explicit band count that doesn't divide the height is rejected
+        here (None -> dense) rather than silently downstream, so callers
+        like recon_env's init-cache path see the same decision as the
+        splat itself."""
         if self.band_split == 0:
             return None
         if self.band_split is not None:
-            return self.band_split
+            return self.band_split if height % self.band_split == 0 else None
         return 8 if height >= 256 and height % 8 == 0 else None
 
 

@@ -195,8 +195,12 @@ def _slice_bands(arr: jnp.ndarray, starts: jnp.ndarray, cap: int) -> jnp.ndarray
 def _zbuf_vis_banded_one(vic, uic, z, ok, height: int, width: int,
                          depth_max: float, voxel_eps, footprint: int,
                          bands: int, cap: int, zminmax):
-    """Row-banded z-buffer + visibility for ONE env — bit-identical radix
-    digits to zbuf_vis_px(zbuf_impl="mxu").
+    """Row-banded z-buffer + visibility for ONE env — identical radix
+    digits to zbuf_vis_px(zbuf_impl="mxu") while per-(pixel,digit) point
+    counts stay comfortably below 2**spacing_bits (the same overflow
+    caveat as encoded_min_image: near saturation the dense Q-length and
+    banded cap-length f32 accumulation orders could decode a digit one
+    apart).
 
     The dense mxu path's four GEMMs each contract every point against the
     FULL image height (2*Q*H*W FLOPs).  A point only ever touches its own
@@ -242,7 +246,6 @@ def _zbuf_vis_banded_one(vic, uic, z, ok, height: int, width: int,
     ok_b = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
     vic_b = (pay_b >> 23).astype(jnp.int32)
     uic_b = ((pay_b >> 14) & 0x1FF).astype(jnp.int32)
-    idx_b = (pay_b & 0x3FFF).astype(jnp.int32)
     # band-local rows; masked slots hold neighbor-band points whose local
     # row may be out of range — clip (their mask zeroes every use)
     vic_l = jnp.clip(vic_b - jnp.arange(bands, dtype=jnp.int32)[:, None] * rpb,
