@@ -51,13 +51,24 @@ class RendererConfig:
     # image row band and contract each band's radix/gather GEMMs over a
     # per-band cap instead of the full surf capacity — FLOP cut = Q/cap
     # (band count sets the cap granularity), bit-identical output, dense
-    # fallback when any band overflows.  Unlike the survivor cull this is
-    # a lossless partition: it needs no cullable occlusion structure, so
-    # it pays off wherever the splat is MXU-bound (the 400x400 sensor).
-    # Takes precedence over compact_cap_frac.  None = auto: B=8 at sensors
-    # >= 256 rows (measured 3.1x on the splat at 400^2; at 128^2 the bands'
-    # 16-row GEMMs pad away the win), off below.  0 forces off.
+    # fallback when any band overflows.  Takes precedence over
+    # compact_cap_frac.  None/0 = OFF (the default).  Round-3 live
+    # measurement at the reference 400x400 sensor, back-to-back 256-env
+    # training runs (reports/r3_fps_{dense400_a,banded400}): dense 6,386
+    # steps/s vs banded 4,274 — the op-level 3.1x FLOP cut does NOT
+    # survive composition into the training step.  The banded form pays a
+    # per-env 3-operand sort, a band-count overflow predicate, B dynamic-
+    # slice band extractions and a scatter-back sort per step, and its
+    # per-band GEMMs have M = rows/B = 50 (< the 128-lane MXU tile, so
+    # ~60% of each fine GEMM is padding) — together these exceed the GEMM
+    # FLOPs saved.  Kept as an explicit opt-in for much taller sensors
+    # where M/B stays >= 128.
     band_split: Optional[int] = None
+    # merge the splat's visibility gather and the carve's z-test gather
+    # into ONE [Q+G^3, H] x [H, W] one-hot GEMM on the dense mxu path
+    # (splat.splat_vis_carve) — bit-identical; measured per-sensor with
+    # tools/bench_ab_live.py (see BENCHMARKS round 3)
+    merge_vis_carve: bool = False
     # per-band cap as a fraction of Q (rounded up to a lane multiple).
     # tools/probe_band_occupancy.py: the training pose distribution's
     # batch-max band occupancy at B=8 is 0.40 (p90) / 0.46 (max) of Q, so
@@ -68,16 +79,15 @@ class RendererConfig:
     band_cap_frac: float = 0.5
 
     def band_split_for(self, height: int) -> Optional[int]:
-        """Effective band count at a given sensor height (auto default).
-        An explicit band count that doesn't divide the height is rejected
-        here (None -> dense) rather than silently downstream, so callers
-        like recon_env's init-cache path see the same decision as the
-        splat itself."""
-        if self.band_split == 0:
+        """Effective band count at a given sensor height.  Banding is an
+        explicit opt-in (default OFF — it measured a 33% live regression
+        at 400^2, see band_split above).  An explicit band count that
+        doesn't divide the height is rejected here (None -> dense) rather
+        than silently downstream, so callers like recon_env's init-cache
+        path see the same decision as the splat itself."""
+        if not self.band_split:
             return None
-        if self.band_split is not None:
-            return self.band_split if height % self.band_split == 0 else None
-        return 8 if height >= 256 and height % 8 == 0 else None
+        return self.band_split if height % self.band_split == 0 else None
 
 
 @dataclass

@@ -213,6 +213,25 @@ class ReconEnv:
             / self.scenes.grid_res
 
         r_c2w, t_c2w = camera.pose_to_c2w(pose, cfg.camera.z_offset)
+        if cfg.renderer.zbuf_impl == "mxu" and cfg.renderer.merge_vis_carve:
+            # merged-gather fast path: the splat's visibility test and the
+            # carve's z-test share ONE [Q+G^3, H] x [H, W] image gather
+            # (splat.splat_vis_carve) — bit-identical to the split form,
+            # one image pass fewer (measured on the 128^2 hot path)
+            centers = scene_lib.voxel_centers(range_gt, vsize, g)
+            margin = 0.5 * jnp.mean(vsize)
+            zbuf, visible, free = splat.splat_vis_carve(
+                surf_pts, surf_mask, centers, self.intrinsics, r_c2w, t_c2w,
+                h, w, cfg.camera.depth_max, jnp.mean(render_vsize), margin,
+                cfg.renderer.footprint,
+            )
+            idx, in_bounds = voxel.points_to_voxel_idx(
+                surf_pts, visible, range_gt, vsize)
+            hit_grid = voxel.scatter_hits(g, idx, in_bounds)
+            traversed = free.reshape(g, g, g)
+            prob_grid, tri, scanned_gt, ratio = self._apply_mapping_one(
+                scene_id, hit_grid, traversed, prob_grid, scanned_gt)
+            return zbuf, prob_grid, tri, scanned_gt, ratio
         zbuf, fg, visible = splat.splat_depth(
             surf_pts, surf_mask, self.intrinsics, r_c2w, t_c2w,
             h, w, cfg.camera.depth_max, jnp.mean(render_vsize),

@@ -120,6 +120,31 @@ def carve_bresenham(
 # ---------------------------------------------------------------------------
 # Projective z-test carve (TPU-native default)
 # ---------------------------------------------------------------------------
+def project_centers_px(
+    voxel_centers: jnp.ndarray,  # [P, 3] world coords
+    k: jnp.ndarray,              # [3, 3] intrinsics
+    r_c2w: jnp.ndarray,          # [3, 3]
+    t_c2w: jnp.ndarray,          # [3]
+    height: int, width: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The gather-free half of carve_ztest: project voxel centers into the
+    camera.  Returns (vi, ui, z, in_img) with vi/ui clipped — EXACTLY the
+    same math as carve_ztest (incl. the z > 1e-6 near-plane threshold,
+    which differs from splat.project_px's 1e-3), so the merged-gather path
+    (splat.splat_vis_carve) stays bit-identical with the split form."""
+    p_cam = jnp.einsum("ij,pj->pi", r_c2w.T, voxel_centers - t_c2w[None, :])
+    z = p_cam[:, 2]
+    safe_z = jnp.where(z > 1e-6, z, 1.0)
+    u = k[0, 0] * p_cam[:, 0] / safe_z + k[0, 2]
+    v = k[1, 1] * p_cam[:, 1] / safe_z + k[1, 2]
+    ui = jnp.floor(u).astype(jnp.int32)
+    vi = jnp.floor(v).astype(jnp.int32)
+    in_img = (z > 1e-6) & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+    ui = jnp.clip(ui, 0, width - 1)
+    vi = jnp.clip(vi, 0, height - 1)
+    return vi, ui, z, in_img
+
+
 def carve_ztest(
     voxel_centers: jnp.ndarray,  # [G^3, 3] world coords of voxel centers
     depth: jnp.ndarray,          # [H, W] z-depth (depth_max where no surface)
@@ -140,16 +165,7 @@ def carve_ztest(
     two — the hot-path variant).
     """
     h, w = depth.shape
-    p_cam = jnp.einsum("ij,pj->pi", r_c2w.T, voxel_centers - t_c2w[None, :])
-    z = p_cam[:, 2]
-    safe_z = jnp.where(z > 1e-6, z, 1.0)
-    u = k[0, 0] * p_cam[:, 0] / safe_z + k[0, 2]
-    v = k[1, 1] * p_cam[:, 1] / safe_z + k[1, 2]
-    ui = jnp.floor(u).astype(jnp.int32)
-    vi = jnp.floor(v).astype(jnp.int32)
-    in_img = (z > 1e-6) & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
-    ui = jnp.clip(ui, 0, w - 1)
-    vi = jnp.clip(vi, 0, h - 1)
+    vi, ui, z, in_img = project_centers_px(voxel_centers, k, r_c2w, t_c2w, h, w)
     # one-hot MXU gather instead of depth[vi, ui]: the XLA gather is
     # latency-bound, ~4.6x slower at 256 envs (tools/bench_scatter.py).
     # Single-plane bf16: both consumers are slack comparisons (margin is a

@@ -58,6 +58,12 @@ def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
     MXU path: tmp = onehot_v @ img  ([P, W]), result = sum(tmp * onehot_u).
     `exact=True` splits the image into two bf16 planes (absolute error
     ~1e-3 of the value scale instead of bf16's ~0.4%).
+
+    On the exact=False path tmp is stored bf16: each tmp row is ONE
+    nonzero product (1.0 * bf16 image value, f32-accumulated then rounded
+    back to the same bf16 value), so the bf16 store is bit-identical to
+    the f32 one — and the [P, W] intermediate is the gather's dominant
+    HBM round-trip (written by the dot, re-read by the masked row-sum).
     """
     h, w = img.shape
     p = vi.shape[0]
@@ -69,9 +75,9 @@ def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
                + jnp.dot(ohv, lo, preferred_element_type=jnp.float32))
     else:
         tmp = jnp.dot(ohv, img.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.bfloat16)
     ohu = ui[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]
-    return jnp.where(ohu, tmp, 0.0).sum(-1)
+    return jnp.where(ohu, tmp, 0.0).sum(-1).astype(jnp.float32)
 
 
 def encoded_min_image(vi: jnp.ndarray, ui: jnp.ndarray, d_digit: jnp.ndarray,
@@ -127,15 +133,21 @@ def depth_digits(z: jnp.ndarray, valid: jnp.ndarray, levels: int,
 
 def gather_image_int8(img_int: jnp.ndarray, vi: jnp.ndarray,
                       ui: jnp.ndarray) -> jnp.ndarray:
-    """img[vi, ui] for a SMALL-INTEGER image (values in [0, 127]) via int8
-    one-hot matmuls — exact, and the MXU's int8 path runs at 2x its bf16
-    rate on v5e.  Returns f32 (the radix digit comparisons are float)."""
+    """img[vi, ui] for a SMALL-INTEGER image (values in [0, 255]) via
+    one-hot matmuls — exact.  Returns f32 (the radix digit comparisons are
+    float).
+
+    The GEMM runs bf16 with a bf16 [Q, W] intermediate: small integers are
+    bf16-exact, each tmp row is one nonzero product, and halving the
+    intermediate's dtype halves the gather's dominant HBM round-trip
+    (round 3; previously int8 operands with an int32 intermediate — the
+    int8 MXU rate never mattered here, the [Q, W] traffic did)."""
     h, w = img_int.shape
     ohv = (vi[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(
-        jnp.int8)
-    tmp = jax.lax.dot_general(ohv, img_int.astype(jnp.int8),
+        jnp.bfloat16)
+    tmp = jax.lax.dot_general(ohv, img_int.astype(jnp.bfloat16),
                               (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)  # [Q, W]
+                              preferred_element_type=jnp.bfloat16)  # [Q, W]
     ohu = ui[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]
     return jnp.where(ohu, tmp, 0).sum(-1).astype(jnp.float32)
 

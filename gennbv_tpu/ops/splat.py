@@ -116,20 +116,15 @@ def splat_depth(
     return zbuf, fg, visible
 
 
-def zbuf_vis_px(
-    vic: jnp.ndarray,         # [Q] int32 clipped pixel rows
-    uic: jnp.ndarray,         # [Q] int32 clipped pixel cols
-    z: jnp.ndarray,           # [Q] f32 camera-space depth
-    ok: jnp.ndarray,          # [Q] bool valid (in-front & in-image)
+def _zbuf_px(
+    vic: jnp.ndarray, uic: jnp.ndarray, z: jnp.ndarray, ok: jnp.ndarray,
     height: int, width: int, depth_max: float,
     voxel_eps: jnp.ndarray, footprint: int = 1, zbuf_impl: str = "mxu",
     zminmax: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pooled z-buffer + per-point visibility from projected pixel
-    coordinates (one env).  The tail of splat_depth, shared with the
-    compacted batch path (splat_depth_batch), which must quantize the
-    survivor subset against the ORIGINAL valid set's z range (`zminmax`)
-    to stay bit-identical with the dense path."""
+    """Pooled z-buffer from projected pixel coordinates (one env).
+    Returns (zbuf [H*W], effective visibility slack — widened by the
+    radix quantization step on the mxu path)."""
     big = jnp.asarray(depth_max, jnp.float32)
 
     if zbuf_impl == "mxu":
@@ -160,7 +155,25 @@ def zbuf_vis_px(
         zbuf = z2d.reshape(-1)
     else:
         zbuf = zbuf0
+    return zbuf, voxel_eps
 
+
+def zbuf_vis_px(
+    vic: jnp.ndarray,         # [Q] int32 clipped pixel rows
+    uic: jnp.ndarray,         # [Q] int32 clipped pixel cols
+    z: jnp.ndarray,           # [Q] f32 camera-space depth
+    ok: jnp.ndarray,          # [Q] bool valid (in-front & in-image)
+    height: int, width: int, depth_max: float,
+    voxel_eps: jnp.ndarray, footprint: int = 1, zbuf_impl: str = "mxu",
+    zminmax: tuple | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pooled z-buffer + per-point visibility from projected pixel
+    coordinates (one env).  The tail of splat_depth, shared with the
+    compacted batch path (splat_depth_batch), which must quantize the
+    survivor subset against the ORIGINAL valid set's z range (`zminmax`)
+    to stay bit-identical with the dense path."""
+    zbuf, voxel_eps = _zbuf_px(vic, uic, z, ok, height, width, depth_max,
+                               voxel_eps, footprint, zbuf_impl, zminmax)
     # visibility: the voxel's own pixel shows (approximately) its depth.
     # The per-point image gather is the splat's hot op on TPU (30 ms at
     # 256 envs x 11k points as an XLA gather); use the one-hot MXU matmul
@@ -172,6 +185,55 @@ def zbuf_vis_px(
         zbuf.reshape(height, width), vic, uic, exact=False)
     visible = ok & (z <= z_at_px + voxel_eps)
     return zbuf, visible
+
+
+def splat_vis_carve(
+    surf_pts: jnp.ndarray,    # [Q, 3] surface voxel centers (world)
+    surf_mask: jnp.ndarray,   # [Q] bool (padding)
+    centers: jnp.ndarray,     # [P, 3] mapping-grid voxel centers (world)
+    k: jnp.ndarray,           # [3, 3] intrinsics
+    r_c2w: jnp.ndarray,       # [3, 3]
+    t_c2w: jnp.ndarray,       # [3]
+    height: int, width: int, depth_max: float,
+    voxel_eps: jnp.ndarray,   # scalar: visibility slack
+    carve_margin: jnp.ndarray,  # scalar: carve z-test margin
+    footprint: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Splat z-buffer + visibility + z-test carve in ONE merged image
+    gather (mxu z-buffer path only).  Returns (zbuf [H*W], visible [Q],
+    free [P]).
+
+    The splat's visibility test and the carve's z-test (ops/carve.py,
+    carve_ztest) both gather the SAME pooled z-buffer — at the Q surface
+    points' pixels and the P=G^3 mapping voxel centers' pixels
+    respectively.  Gathering both point sets in one [Q+P, H] x [H, W]
+    one-hot GEMM removes a whole image pass (dispatch + image re-stream)
+    and feeds the MXU a taller M dimension.  Bit-identical to the split
+    form: gather_image rows are independent (each output element is its
+    own H-length dot), and every downstream comparison is unchanged.
+    """
+    from gennbv_tpu.ops import carve as carve_lib
+
+    vic, uic, z, ok = project_px(surf_pts, surf_mask, k, r_c2w, t_c2w,
+                                 height, width)
+    zbuf, eps_eff = _zbuf_px(vic, uic, z, ok, height, width, depth_max,
+                             voxel_eps, footprint, "mxu")
+
+    # project the mapping voxel centers — carve_ztest's exact projection
+    # (its near-plane threshold differs from project_px's)
+    cvi, cui, cz, cin = carve_lib.project_centers_px(
+        centers, k, r_c2w, t_c2w, height, width)
+
+    q = vic.shape[0]
+    z_at = mxu.gather_image(
+        zbuf.reshape(height, width),
+        jnp.concatenate([vic, cvi]), jnp.concatenate([uic, cui]),
+        exact=False)
+    visible = ok & (z <= z_at[:q] + eps_eff)
+    d_px = z_at[q:]
+    fg_px = d_px < depth_max * (1.0 - 1e-4)
+    free = (cin & fg_px & (cz < d_px - carve_margin)).astype(jnp.float32)
+    return zbuf, visible, free
 
 
 # ---------------------------------------------------------------------------

@@ -310,3 +310,33 @@ class TestSplatBandedBatch:
             state_b, out_b = env_b.step(state_b, acts)
             np.testing.assert_array_equal(np.array(out_a.obs),
                                           np.array(out_b.obs))
+
+    def test_env_step_merged_gather_matches(self):
+        """splat_vis_carve (merged visibility+carve gather) must be
+        bit-identical to the split form on the full env.step (it measured
+        SLOWER live at 400^2 — reports/r3_ab_split_vs_merged_400.log — so
+        it defaults off, but stays config-selectable and exact)."""
+        cfg = EnvConfig(
+            num_envs=4,
+            camera=CameraConfig(height=48, width=48),
+            renderer=RendererConfig(resolution=24),
+            scene=SceneConfig(num_scenes=4, seed=3),
+        )
+        cfg_m = dataclasses.replace(
+            cfg, renderer=dataclasses.replace(cfg.renderer,
+                                              merge_vis_carve=True))
+        scenes = make_scenes(cfg.scene, cfg.renderer.resolution)
+        env_a, env_m = ReconEnv(cfg, scenes), ReconEnv(cfg_m, scenes)
+        state_a, out_a = env_a.reset(4)
+        state_m, out_m = env_m.reset(4)
+        np.testing.assert_array_equal(np.array(out_a.obs), np.array(out_m.obs))
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            acts = jnp.asarray(rng.integers(0, np.asarray(env_a.nvec), (4, 6)),
+                               jnp.int32)
+            state_a, out_a = env_a.step(state_a, acts)
+            state_m, out_m = env_m.step(state_m, acts)
+            np.testing.assert_array_equal(np.array(out_a.obs),
+                                          np.array(out_m.obs))
+            np.testing.assert_array_equal(np.array(out_a.reward),
+                                          np.array(out_m.reward))

@@ -7,8 +7,14 @@ checkpoint (falls back to best-by-train-reward, then latest):
   2. dataset='objects' zero-shot transfer (the OmniObject3D analogue)
   3. artifacts for env 0: episode GIF + reconstruction PLY/OBJ
 
-Usage: python tools/post_run.py runs/<exp>/ [--no-artifacts]
+Usage: python tools/post_run.py runs/<exp>/ [--no-artifacts] [--export NAME]
 Prints a compact JSON report and writes it to <run_dir>/report.json.
+
+--export NAME additionally copies the claim-backing artifacts (report.json,
+config.json, an eval-curve CSV and the final metrics row from
+metrics.jsonl) into the TRACKED reports/NAME/ directory, so every number
+cited in BENCHMARKS.md resolves to a committed artifact — runs/ itself is
+gitignored and wiped between rounds (VERDICT r2 item 3).
 """
 from __future__ import annotations
 
@@ -22,6 +28,58 @@ sys.path.insert(0, ROOT)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
 
 CKPT_PREFERENCE = ("rl_model_best_eval_coverage", "rl_model_best_episode_reward")
+
+# metrics.jsonl keys worth preserving in the exported eval-curve CSV
+_CURVE_KEYS = (
+    "step", "global_step", "eval/final_coverage", "eval/mean_AUC",
+    "eval/coverage_curve_AUC", "eval/init_coverage", "eval/mean_reward",
+    "eval/mean_ep_length", "rollout/episode_reward_rolling",
+    "rollout/final_coverage", "train/learning_rate", "time/fps",
+)
+
+
+def export_report(run_dir: str, name: str) -> str:
+    """Copy a run's claim-backing artifacts into tracked reports/<name>/.
+
+    Contents: report.json (if post_run produced one), config.json, an
+    eval-curve CSV distilled from metrics.jsonl (only rows with an eval,
+    plus the final row), and last_metrics.json (the last full metrics row).
+    Everything is a few KB — committable evidence for BENCHMARKS claims.
+    """
+    import csv
+    import shutil
+
+    out_dir = os.path.join(ROOT, "reports", name)
+    os.makedirs(out_dir, exist_ok=True)
+    for fname in ("report.json", "config.json"):
+        src = os.path.join(run_dir, fname)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(out_dir, fname))
+
+    jsonl = os.path.join(run_dir, "metrics.jsonl")
+    if os.path.exists(jsonl):
+        rows = []
+        with open(jsonl) as f:
+            for line in f:
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        if rows:
+            eval_rows = [r for r in rows if "eval/final_coverage" in r]
+            keep = eval_rows if eval_rows else rows[-10:]
+            if rows[-1] is not (keep[-1] if keep else None):
+                keep = keep + [rows[-1]]
+            with open(os.path.join(out_dir, "eval_curve.csv"), "w",
+                      newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(_CURVE_KEYS),
+                                   extrasaction="ignore")
+                w.writeheader()
+                for r in keep:
+                    w.writerow({k: r.get(k, "") for k in _CURVE_KEYS})
+            with open(os.path.join(out_dir, "last_metrics.json"), "w") as f:
+                json.dump(rows[-1], f, indent=1)
+    return out_dir
 
 
 def pick_checkpoint(models_dir: str) -> str:
@@ -39,6 +97,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("run_dir")
     ap.add_argument("--no-artifacts", action="store_true")
+    ap.add_argument("--export", type=str, default=None, metavar="NAME",
+                    help="copy report.json/config.json/eval-curve CSV into "
+                         "the tracked reports/NAME/ directory")
     ap.add_argument("--eval_seed", type=int, default=100)
     ap.add_argument("--eval_cam", type=int, default=0,
                     help="evaluate under this camera resolution instead of "
@@ -163,6 +224,9 @@ def main(argv=None):
     with open(os.path.join(run_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
+    if args.export:
+        out_dir = export_report(run_dir, args.export)
+        print(f"exported evidence to {out_dir}", flush=True)
 
 
 if __name__ == "__main__":
