@@ -69,6 +69,11 @@ class RendererConfig:
     # (splat.splat_vis_carve) — bit-identical; measured per-sensor with
     # tools/bench_ab_live.py (see BENCHMARKS round 3)
     merge_vis_carve: bool = False
+    # per-point image gather implementation for the visibility / carve /
+    # radix-digit gathers: "mxu" = one-hot GEMM with an HBM [P, W]
+    # intermediate (ops/mxu.py); "pallas" = VMEM-resident-image kernel
+    # (ops/pallas_gather.py) — bit-identical, no HBM intermediate
+    gather_impl: str = "mxu"
     # per-band cap as a fraction of Q (rounded up to a lane multiple).
     # tools/probe_band_occupancy.py: the training pose distribution's
     # batch-max band occupancy at B=8 is 0.40 (p90) / 0.46 (max) of Q, so

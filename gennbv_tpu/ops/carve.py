@@ -154,6 +154,7 @@ def carve_ztest(
     t_c2w: jnp.ndarray,          # [3]
     margin: jnp.ndarray,         # scalar: carve only if z < depth - margin
     depth_max: float | None = None,
+    gather_impl: str = "mxu",    # "mxu" | "pallas" (ops/pallas_gather.py)
 ) -> jnp.ndarray:
     """[G^3] {0,1} mask of voxels observed free by this depth frame.
 
@@ -173,13 +174,17 @@ def carve_ztest(
     # empty pixels hold exactly depth_max, bf16-representable) and bf16's
     # absolute error at scene depths is an order below both slacks.
     from gennbv_tpu.ops import mxu
-    d_px = mxu.gather_image(depth, vi, ui, exact=False)
+    if gather_impl == "pallas":
+        from gennbv_tpu.ops import pallas_gather
+        gather = pallas_gather.gather_image
+    else:
+        gather = lambda img, v, u: mxu.gather_image(img, v, u, exact=False)
+    d_px = gather(depth, vi, ui)
     if fg is None:
         assert depth_max is not None
         fg_px = d_px < depth_max * (1.0 - 1e-4)
     else:
-        fg_px = mxu.gather_image(fg.astype(jnp.float32), vi, ui,
-                                 exact=False) > 0.5
+        fg_px = gather(fg.astype(jnp.float32), vi, ui) > 0.5
     free = in_img & fg_px & (z < d_px - margin)
     return free.astype(jnp.float32)
 

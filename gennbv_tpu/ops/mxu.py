@@ -156,7 +156,8 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
                       valid: jnp.ndarray, height: int, width: int,
                       z_default: float, levels: int = 10,
                       spacing_bits: int = 12,
-                      zminmax: tuple | None = None) -> jnp.ndarray:
+                      zminmax: tuple | None = None,
+                      gather_impl: str = "mxu") -> jnp.ndarray:
     """Per-pixel min of z over points — WITHOUT a scatter.
 
     XLA's scatter-min lowering costs ~30 ms at 256 envs x 11k points
@@ -199,8 +200,12 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
     m1, have1 = encoded_min(d1, vf)
 
     # per-point gather of the pixel's min coarse bucket (bucket ids are
-    # small integers: int8 one-hot matmul, exact and 2x the bf16 MXU rate)
-    m1_at_q = gather_image_int8(m1, vi, ui)                      # [Q]
+    # small integers, exact in bf16 either way)
+    if gather_impl == "pallas":
+        from gennbv_tpu.ops import pallas_gather
+        m1_at_q = pallas_gather.gather_image(m1, vi, ui)         # [Q]
+    else:
+        m1_at_q = gather_image_int8(m1, vi, ui)                  # [Q]
     in_min_bucket = vf * (jnp.abs(d1 - m1_at_q) < 0.5)
 
     m2, have2 = encoded_min(d2, in_min_bucket)

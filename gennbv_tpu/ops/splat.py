@@ -60,6 +60,7 @@ def splat_depth(
     footprint: int = 1,       # splat radius in pixels (1 -> 3x3)
     zbuf_impl: str = "mxu",   # "mxu" (radix-min matmuls) | "pallas" (fused
                               # kernel, ops/pallas_splat.py) | "scatter" (exact)
+    gather_impl: str = "mxu",  # per-point image gathers: "mxu" | "pallas"
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (zbuf [H*W], fg [H*W] bool, visible [Q] bool)."""
     vic, uic, z, ok = project_px(surf_pts, surf_mask, k, r_c2w, t_c2w,
@@ -111,7 +112,8 @@ def splat_depth(
         return zbuf, fg, visible
 
     zbuf, visible = zbuf_vis_px(vic, uic, z, ok, height, width, depth_max,
-                                voxel_eps, footprint, zbuf_impl)
+                                voxel_eps, footprint, zbuf_impl,
+                                gather_impl=gather_impl)
     fg = zbuf < depth_max - 1e-6
     return zbuf, fg, visible
 
@@ -120,7 +122,7 @@ def _zbuf_px(
     vic: jnp.ndarray, uic: jnp.ndarray, z: jnp.ndarray, ok: jnp.ndarray,
     height: int, width: int, depth_max: float,
     voxel_eps: jnp.ndarray, footprint: int = 1, zbuf_impl: str = "mxu",
-    zminmax: tuple | None = None,
+    zminmax: tuple | None = None, gather_impl: str = "mxu",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pooled z-buffer from projected pixel coordinates (one env).
     Returns (zbuf [H*W], effective visibility slack — widened by the
@@ -134,7 +136,8 @@ def _zbuf_px(
         # visibility slack below.  One-hots are rebuilt inline inside every
         # GEMM (never materialized to HBM) — see scatter_min_image's note.
         zbuf0, quant = mxu.scatter_min_image(
-            vic, uic, z, ok, height, width, depth_max, zminmax=zminmax)
+            vic, uic, z, ok, height, width, depth_max, zminmax=zminmax,
+            gather_impl=gather_impl)
         voxel_eps = voxel_eps + quant
     else:
         flat = vic * width + uic
@@ -165,7 +168,7 @@ def zbuf_vis_px(
     ok: jnp.ndarray,          # [Q] bool valid (in-front & in-image)
     height: int, width: int, depth_max: float,
     voxel_eps: jnp.ndarray, footprint: int = 1, zbuf_impl: str = "mxu",
-    zminmax: tuple | None = None,
+    zminmax: tuple | None = None, gather_impl: str = "mxu",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pooled z-buffer + per-point visibility from projected pixel
     coordinates (one env).  The tail of splat_depth, shared with the
@@ -173,16 +176,23 @@ def zbuf_vis_px(
     survivor subset against the ORIGINAL valid set's z range (`zminmax`)
     to stay bit-identical with the dense path."""
     zbuf, voxel_eps = _zbuf_px(vic, uic, z, ok, height, width, depth_max,
-                               voxel_eps, footprint, zbuf_impl, zminmax)
+                               voxel_eps, footprint, zbuf_impl, zminmax,
+                               gather_impl)
     # visibility: the voxel's own pixel shows (approximately) its depth.
     # The per-point image gather is the splat's hot op on TPU (30 ms at
     # 256 envs x 11k points as an XLA gather); use the one-hot MXU matmul
-    # (ops/mxu.py, ~5x faster).  Single-plane bf16 suffices: the gathered
-    # depth enters a slack comparison (voxel_eps >= render voxel ~0.16 m)
-    # and bf16's absolute error at scene depths (<= 16 m) is <= 0.0625 m —
-    # the hi/lo exact split costs a second matmul (5.3 -> 2.8 ms measured).
-    z_at_px = mxu.gather_image(
-        zbuf.reshape(height, width), vic, uic, exact=False)
+    # (ops/mxu.py, ~5x faster) or the VMEM-resident Pallas kernel
+    # (ops/pallas_gather.py — no HBM intermediate).  Single-plane bf16
+    # suffices: the gathered depth enters a slack comparison (voxel_eps >=
+    # render voxel ~0.16 m) and bf16's absolute error at scene depths
+    # (<= 16 m) is <= 0.0625 m — the hi/lo exact split costs a second
+    # matmul (5.3 -> 2.8 ms measured).
+    zbuf2d = zbuf.reshape(height, width)
+    if gather_impl == "pallas":
+        from gennbv_tpu.ops import pallas_gather
+        z_at_px = pallas_gather.gather_image(zbuf2d, vic, uic)
+    else:
+        z_at_px = mxu.gather_image(zbuf2d, vic, uic, exact=False)
     visible = ok & (z <= z_at_px + voxel_eps)
     return zbuf, visible
 
