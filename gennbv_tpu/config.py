@@ -72,8 +72,14 @@ class RendererConfig:
     # per-point image gather implementation for the visibility / carve /
     # radix-digit gathers: "mxu" = one-hot GEMM with an HBM [P, W]
     # intermediate (ops/mxu.py); "pallas" = VMEM-resident-image kernel
-    # (ops/pallas_gather.py) — bit-identical, no HBM intermediate
-    gather_impl: str = "mxu"
+    # (ops/pallas_gather.py) — bit-identical, no HBM intermediate.
+    # "auto" (default) picks per sensor from the round-3 interleaved live
+    # A/B (tools/bench_ab_live.py): at 128^2 the batched env.step is
+    # BANDWIDTH-bound on the gather intermediates and pallas wins 1.14x
+    # (23,912 -> 27,176 steps/s); at 400^2 the step is compute-bound on
+    # the radix GEMMs and the kernel's serial per-chunk dots lose 0.97x
+    # (6,284 -> 6,076).  auto = pallas below 256 rows, mxu at/above.
+    gather_impl: str = "auto"
     # per-band cap as a fraction of Q (rounded up to a lane multiple).
     # tools/probe_band_occupancy.py: the training pose distribution's
     # batch-max band occupancy at B=8 is 0.40 (p90) / 0.46 (max) of Q, so
@@ -93,6 +99,16 @@ class RendererConfig:
         if not self.band_split:
             return None
         return self.band_split if height % self.band_split == 0 else None
+
+    def gather_impl_for(self, height: int) -> str:
+        """Effective gather implementation at a given sensor height (the
+        "auto" policy documented at gather_impl)."""
+        if self.gather_impl not in ("auto", "mxu", "pallas"):
+            raise ValueError(f"renderer.gather_impl={self.gather_impl!r}: "
+                             "expected 'auto', 'mxu' or 'pallas'")
+        if self.gather_impl != "auto":
+            return self.gather_impl
+        return "pallas" if height < 256 else "mxu"
 
 
 @dataclass

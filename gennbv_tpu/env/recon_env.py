@@ -236,7 +236,7 @@ class ReconEnv:
             surf_pts, surf_mask, self.intrinsics, r_c2w, t_c2w,
             h, w, cfg.camera.depth_max, jnp.mean(render_vsize),
             cfg.renderer.footprint, cfg.renderer.zbuf_impl,
-            gather_impl=cfg.renderer.gather_impl,
+            gather_impl=cfg.renderer.gather_impl_for(cfg.camera.height),
         )
         return self._post_splat_one(scene_id, r_c2w, t_c2w, zbuf, visible,
                                     prob_grid, scanned_gt)
@@ -269,7 +269,7 @@ class ReconEnv:
             centers, zbuf.reshape(h, w), None,
             self.intrinsics, r_c2w, t_c2w, margin,
             depth_max=cfg.camera.depth_max,
-            gather_impl=cfg.renderer.gather_impl,
+            gather_impl=cfg.renderer.gather_impl_for(cfg.camera.height),
         ).reshape(g, g, g)
         return hit_grid, traversed
 

@@ -33,23 +33,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 512
+ROWS = 8  # index rows per grid step — TPU sublane tiling needs blocks of 8
 
 
 def _kernel(img_ref, vi_ref, ui_ref, out_ref):
     img = img_ref[...].astype(jnp.bfloat16)              # [H, W] (VMEM-resident)
     h, w = img.shape
-    vi = vi_ref[...]                                     # [1, CHUNK]
-    ui = ui_ref[...]
-    # one-hot over rows, points on lanes: ohv[h, k] = (vi[k] == h)
-    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, CHUNK), 0)
-    ohv = (ioh == vi).astype(jnp.bfloat16)               # [H, CHUNK]
-    # contract H: tmp[w, k] = img[vi[k], w] for the selected row
-    tmp = jax.lax.dot_general(
-        img, ohv, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [W, CHUNK]
-    iow = jax.lax.broadcasted_iota(jnp.int32, (w, CHUNK), 0)
-    sel = jnp.where(iow == ui, tmp, 0.0)
-    out_ref[...] = jnp.sum(sel, axis=0, keepdims=True)   # [1, CHUNK] f32
+    for r in range(ROWS):                                # static unroll
+        vi = vi_ref[r:r + 1, :]                          # [1, CHUNK]
+        ui = ui_ref[r:r + 1, :]
+        # one-hot over rows, points on lanes: ohv[h, k] = (vi[k] == h)
+        ioh = jax.lax.broadcasted_iota(jnp.int32, (h, CHUNK), 0)
+        ohv = (ioh == vi).astype(jnp.bfloat16)           # [H, CHUNK]
+        # contract H: tmp[w, k] = img[vi[k], w] for the selected row
+        tmp = jax.lax.dot_general(
+            img, ohv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [W, CHUNK]
+        iow = jax.lax.broadcasted_iota(jnp.int32, (w, CHUNK), 0)
+        sel = jnp.where(iow == ui, tmp, 0.0)
+        out_ref[r:r + 1, :] = jnp.sum(sel, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -62,7 +64,7 @@ def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     q = vi.shape[0]
-    qc = -(-q // CHUNK)
+    qc = -(-q // (CHUNK * ROWS)) * ROWS                  # rows, multiple of 8
     pad = qc * CHUNK - q
     # pad with index 0 (in range; results discarded by the caller's masks)
     vi_p = jnp.pad(vi, (0, pad)).reshape(qc, CHUNK)
@@ -70,16 +72,16 @@ def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
 
     out = pl.pallas_call(
         _kernel,
-        grid=(qc,),
+        grid=(qc // ROWS,),
         in_specs=[
             pl.BlockSpec(img.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),       # constant: resident
-            pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+            pl.BlockSpec((ROWS, CHUNK), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+            pl.BlockSpec((ROWS, CHUNK), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((ROWS, CHUNK), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qc, CHUNK), jnp.float32),
         interpret=interpret,
