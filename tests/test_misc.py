@@ -1,5 +1,6 @@
 """Registry, normalizer, and config-override tests."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gennbv_tpu import registry, spec
@@ -52,6 +53,19 @@ class TestConfig:
     def test_to_dict(self):
         d = config_to_dict(Config())
         assert d["ppo"]["gamma"] == spec.PPO_GAMMA
+
+    def test_gather_impl_auto_policy(self):
+        # round-3 live A/B: pallas wins at the bandwidth-bound small
+        # sensors, mxu at the compute-bound large ones (BENCHMARKS.md)
+        r = Config().env.renderer
+        assert r.gather_impl == "auto"
+        assert r.gather_impl_for(128) == "pallas"
+        assert r.gather_impl_for(400) == "mxu"
+        forced = apply_overrides(Config(), ("env.renderer.gather_impl=mxu",))
+        assert forced.env.renderer.gather_impl_for(128) == "mxu"
+        bad = apply_overrides(Config(), ("env.renderer.gather_impl=typo",))
+        with pytest.raises(ValueError):
+            bad.env.renderer.gather_impl_for(128)
 
 
 class TestNormalizer:
