@@ -103,9 +103,10 @@ class RendererConfig:
     def gather_impl_for(self, height: int) -> str:
         """Effective gather implementation at a given sensor height (the
         "auto" policy documented at gather_impl)."""
-        if self.gather_impl not in ("auto", "mxu", "pallas"):
+        if self.gather_impl not in ("auto", "mxu", "pallas", "pallas_fused"):
             raise ValueError(f"renderer.gather_impl={self.gather_impl!r}: "
-                             "expected 'auto', 'mxu' or 'pallas'")
+                             "expected 'auto', 'mxu', 'pallas' or "
+                             "'pallas_fused'")
         if self.gather_impl != "auto":
             return self.gather_impl
         return "pallas" if height < 256 else "mxu"

@@ -188,9 +188,10 @@ def zbuf_vis_px(
     # (<= 16 m) is <= 0.0625 m — the hi/lo exact split costs a second
     # matmul (5.3 -> 2.8 ms measured).
     zbuf2d = zbuf.reshape(height, width)
-    if gather_impl == "pallas":
+    if gather_impl.startswith("pallas"):
         from gennbv_tpu.ops import pallas_gather
-        z_at_px = pallas_gather.gather_image(zbuf2d, vic, uic)
+        z_at_px = pallas_gather.gather_image(
+            zbuf2d, vic, uic, fused=gather_impl == "pallas_fused")
     else:
         z_at_px = mxu.gather_image(zbuf2d, vic, uic, exact=False)
     visible = ok & (z <= z_at_px + voxel_eps)

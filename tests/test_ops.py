@@ -381,7 +381,9 @@ class TestPallasGather:
             ui = jnp.asarray(rng.integers(0, w, q), jnp.int32)
             a = mxu.gather_image(img, vi, ui, exact=False)
             b = pallas_gather.gather_image(img, vi, ui)
+            c = pallas_gather.gather_image(img, vi, ui, fused=True)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
             # reference values: bf16-rounded exact lookups
             ref = np.asarray(img)[np.asarray(vi), np.asarray(ui)].astype(
                 jnp.bfloat16).astype(np.float32)
@@ -414,7 +416,7 @@ class TestPallasGather:
         cfg = EnvConfig(
             num_envs=4,
             camera=CameraConfig(height=48, width=48),
-            renderer=RendererConfig(resolution=24),
+            renderer=RendererConfig(resolution=24, gather_impl="mxu"),
             scene=SceneConfig(num_scenes=4, seed=3),
         )
         cfg_p = dataclasses.replace(
