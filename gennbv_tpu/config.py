@@ -279,6 +279,8 @@ class Config:
 
 
 def _coerce(value: str, old: Any) -> Any:
+    if value.lower() in ("none", "null"):
+        return None
     if old is None:
         try:
             return int(value)

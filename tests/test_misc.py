@@ -38,6 +38,11 @@ class TestConfig:
         assert cfg.env.num_envs == 16
         assert cfg.runner.wandb is True
         assert cfg.env.carve_mode == "bresenham"
+        # literal none clears Optional fields (e.g. eval-style training
+        # with no coverage termination)
+        cleared = apply_overrides(Config(),
+                                  ("env.coverage_done_threshold=none",))
+        assert cleared.env.coverage_done_threshold is None
         # original untouched (immutably rebuilt)
         assert Config().env.num_envs == spec.PPO_NUM_ENVS
 
