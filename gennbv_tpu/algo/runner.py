@@ -398,17 +398,36 @@ class Runner:
             json.dump(state, f)
         os.replace(tmp, path)
 
-    def restore(self, models_dir: str) -> int:
+    def restore(self, models_dir: str, params_only: bool = False) -> int:
         """Resume {params, batch_stats, opt_state} from the latest
         rl_model_<steps>_steps checkpoint in `models_dir` (the reference's
         --resume + get_load_path, helpers.py:108-131).  Returns the
         restored global step.  Env/mapping state is NOT checkpointed —
-        episodes restart, matching the reference (SURVEY §5.4)."""
+        episodes restart, matching the reference (SURVEY §5.4).
+
+        `params_only=True` warm-starts just {params, batch_stats} and keeps
+        the freshly-built optimizer state and step counter — for fine-tuning
+        under a different objective or LR schedule, where the saved
+        opt_state tree (e.g. a linear-schedule count) is wrong or
+        structurally incompatible (the reference's model.set_parameters
+        hook, train_gennbv.py:218-220, has the same policy-weights-only
+        semantics)."""
         mgr = CheckpointManager(models_dir)
         step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(
                 f"no rl_model_*_steps checkpoints in {models_dir}")
+        if params_only:
+            raw = mgr.restore_policy(f"rl_model_{step}_steps")
+            like = lambda new, old: jax.device_put(  # noqa: E731
+                jnp.asarray(new, dtype=old.dtype), old.sharding)
+            self.train_state = self.train_state._replace(
+                params=jax.tree.map(like, raw["params"],
+                                    self.train_state.params),
+                batch_stats=jax.tree.map(like, raw["batch_stats"],
+                                         self.train_state.batch_stats),
+            )
+            return 0
         self.train_state = mgr.restore(f"rl_model_{step}_steps", self.train_state)
         self.global_step = step
         self.iteration = step // (self.cfg.ppo.n_steps * self.cfg.env.num_envs)

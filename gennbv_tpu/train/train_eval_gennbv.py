@@ -34,6 +34,9 @@ def main(argv=None):
     if args.resume:
         step = runner.restore(args.resume)
         print(f"resumed from {args.resume} at step {step}")
+    elif args.resume_params:
+        runner.restore(args.resume_params, params_only=True)
+        print(f"warm-started params from {args.resume_params}")
     try:
         metrics = runner.train(cfg.ppo.total_iters)
         print("final:", {k: round(v, 4) for k, v in metrics.items()})

@@ -31,6 +31,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="resume from the latest rl_model_*_steps checkpoint "
                         "in this directory (reference: --resume/get_load_path, "
                         "legged_gym/utils/helpers.py:108-131)")
+    p.add_argument("--resume_params", type=str, default=None,
+                   metavar="MODELS_DIR",
+                   help="warm-start {params, batch_stats} only from the "
+                        "latest checkpoint; fresh optimizer + step counter "
+                        "(fine-tune mode; reference: model.set_parameters, "
+                        "gennbv/train/train_gennbv.py:218-220)")
     return p
 
 
@@ -70,6 +76,9 @@ def main(argv=None):
     if args.resume:
         step = runner.restore(args.resume)
         print(f"resumed from {args.resume} at step {step}")
+    elif args.resume_params:
+        runner.restore(args.resume_params, params_only=True)
+        print(f"warm-started params from {args.resume_params}")
     try:
         metrics = runner.train(cfg.ppo.total_iters)
         print("final:", {k: round(v, 4) for k, v in metrics.items()})

@@ -227,6 +227,26 @@ def test_resume_from_checkpoint(tmp_path):
     with pytest.raises(FileNotFoundError, match="rl_model"):
         r2.restore(str(tmp_path / "nope"))
 
+    # params-only warm start (--resume_params, fine-tune mode): params come
+    # from the checkpoint, but the optimizer state and step counter stay
+    # fresh even when the saved opt_state tree is structurally incompatible
+    # (e.g. linear-schedule count vs a constant-LR chain).
+    import dataclasses
+    cfg3 = mk()
+    cfg3 = dataclasses.replace(
+        cfg3, ppo=dataclasses.replace(cfg3.ppo, lr_schedule="linear"))
+    r_lin = Runner(cfg3, log_dir=str(tmp_path / "run3"))
+    r_lin.train(1)
+    r_lin.close()
+    r4 = Runner(mk(), log_dir=str(tmp_path / "run4"))  # constant-LR chain
+    step = r4.restore(str(tmp_path / "run3" / "models"), params_only=True)
+    assert step == 0 and r4.global_step == 0 and r4.iteration == 0
+    a = jax.tree.leaves(r_lin.train_state.params)[0]
+    b = jax.tree.leaves(r4.train_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    m = r4.train(1, log=False)
+    assert m and all(np.isfinite(v) for v in m.values())
+
 
 def test_resume_restores_best_trackers(tmp_path):
     """A resumed run must not clobber rl_model_best_* with a worse first
