@@ -111,6 +111,26 @@ class RendererConfig:
             return self.gather_impl
         return "pallas" if height < 256 else "mxu"
 
+    # hit-grid scatter implementation (ops/voxel.py scatter_hits):
+    # "mxu" = one-hot GEMM (the [Q, G^2] operand looked HBM-material in
+    # the HLO text but is fused/overlapped in practice); "pallas" =
+    # VMEM-resident one-hot chunks (ops/pallas_scatter.py), bit-identical.
+    # Round-3 interleaved live A/B at 128^2
+    # (reports/r3_ab_scatter_mxu_vs_pallas_128.log): 27,173 vs 27,178
+    # steps/s — a DEAD HEAT (1.0002x), so the default stays "mxu" and the
+    # kernel is an explicit opt-in.  The measurement is the point: the
+    # naive HLO-text buffer ranking overstates what XLA materializes.
+    scatter_impl: str = "mxu"
+
+    def scatter_impl_for(self, height: int) -> str:
+        """Effective hit-scatter implementation at a given sensor height."""
+        if self.scatter_impl not in ("auto", "mxu", "pallas"):
+            raise ValueError(f"renderer.scatter_impl={self.scatter_impl!r}: "
+                             "expected 'auto', 'mxu' or 'pallas'")
+        if self.scatter_impl != "auto":
+            return self.scatter_impl
+        return "pallas" if height < 256 else "mxu"
+
 
 @dataclass
 class SceneConfig:

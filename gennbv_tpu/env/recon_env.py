@@ -227,7 +227,9 @@ class ReconEnv:
             )
             idx, in_bounds = voxel.points_to_voxel_idx(
                 surf_pts, visible, range_gt, vsize)
-            hit_grid = voxel.scatter_hits(g, idx, in_bounds)
+            hit_grid = voxel.scatter_hits(
+                g, idx, in_bounds,
+                impl=cfg.renderer.scatter_impl_for(cfg.camera.height))
             traversed = free.reshape(g, g, g)
             prob_grid, tri, scanned_gt, ratio = self._apply_mapping_one(
                 scene_id, hit_grid, traversed, prob_grid, scanned_gt)
@@ -261,7 +263,9 @@ class ReconEnv:
         surf_pts = self.scenes.surf_pts[scene_id]
 
         idx, in_bounds = voxel.points_to_voxel_idx(surf_pts, visible, range_gt, vsize)
-        hit_grid = voxel.scatter_hits(g, idx, in_bounds)
+        hit_grid = voxel.scatter_hits(
+            g, idx, in_bounds,
+            impl=cfg.renderer.scatter_impl_for(cfg.camera.height))
 
         centers = scene_lib.voxel_centers(range_gt, vsize, g)
         margin = 0.5 * jnp.mean(vsize)
@@ -355,7 +359,9 @@ class ReconEnv:
 
         pts, valid = backproject.backproject(depth, fg, self.cam_rays, r_c2w, t_c2w)
         idx, in_bounds = voxel.points_to_voxel_idx(pts, valid, range_gt, vsize)
-        hit_grid = voxel.scatter_hits(g, idx, in_bounds)
+        hit_grid = voxel.scatter_hits(
+            g, idx, in_bounds,
+            impl=cfg.renderer.scatter_impl_for(cfg.camera.height))
 
         if cfg.carve_mode == "bresenham":
             cam_voxel = voxel.pose_to_voxel_idx(pose[:3], range_gt, vsize)

@@ -69,14 +69,22 @@ def scatter_hits(
     grid_shape: int,
     idx: jnp.ndarray,     # [P, 3] int32 (pre-clamped)
     valid: jnp.ndarray,   # [P] bool
+    impl: str = "mxu",
 ) -> jnp.ndarray:
     """[G, G, G] float grid with 1.0 at valid hit voxels (idempotent —
     replaces the reference's unique+index-assign,
     env_train_gennbv.py:301-304).
 
-    Implemented as a one-hot MXU matmul (ops/mxu.py): XLA's scatter-max
-    lowering is latency-bound (~20 ms at 256 envs x 11k points); the matmul
-    form is exact and ~8x faster (tools/bench_scatter.py)."""
+    impl "mxu": one-hot MXU matmul (ops/mxu.py) — XLA's scatter-max
+    lowering is latency-bound (~20 ms at 256 envs x 11k points); the
+    matmul form is exact and ~8x faster (tools/bench_scatter.py).  Its
+    [P, G^2] one-hot operand is HBM-materialized, the largest buffer in
+    the compiled env.step.
+    impl "pallas": the same contraction with VMEM-resident one-hot chunks
+    (ops/pallas_scatter.py) — bit-identical, no HBM intermediate."""
+    if impl == "pallas":
+        from gennbv_tpu.ops import pallas_scatter
+        return pallas_scatter.scatter_cells_any(idx, valid, grid_shape)
     from gennbv_tpu.ops import mxu
     return mxu.scatter_cells_any(idx, valid, grid_shape)
 
