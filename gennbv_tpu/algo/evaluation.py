@@ -189,48 +189,68 @@ def evaluate(env, model, variables, point_stride: int = 8,
         # prepend the reset-step scan
         pts = np.concatenate([np.array(init_pts)[None], pts], axis=0)
         valid = np.concatenate([np.array(init_valid)[None], valid], axis=0)
-        accs, s2gs, g2ss, g2s_seens, unseens, floors = [], [], [], [], [], []
         gt_pts = np.array(env.scenes.gt_points)
         gt_mask = np.array(env.scenes.gt_points_mask)
         box_lo = np.array(env.scenes.box_lo)
         box_hi = np.array(env.scenes.box_hi)
-        for e in range(n):
-            p = pts[:, e][valid[:, e]]
-            if len(p) == 0:
-                continue
-            p = chamfer.dedupe_round_cm(p)
-            sid = int(np.array(env_state.scene_id[e]))
-            g = gt_pts[sid][gt_mask[sid]]
-            pj = jnp.asarray(p, jnp.float32)
-            pm = jnp.ones(len(p), bool)
-            gj = jnp.asarray(g, jnp.float32)
-            gm = jnp.ones(len(g), bool)
-            d_sg, d_gs = chamfer.chamfer_directed(pj, pm, gj, gm)
-            accs.append((float(d_sg) + float(d_gs)) * 100.0)
-            s2gs.append(float(d_sg) * 100.0)
-            g2ss.append(float(d_gs) * 100.0)
+        sids = np.array(env_state.scene_id)
+
+        # ONE batched NN pass over all envs instead of a per-env host loop
+        # of serial jitted dispatches (round-3 verdict weak #7: on a
+        # single-core host with a tunneled device, 50 x 4 sequential
+        # dispatches serialize on the host).  Scan points are padded to a
+        # common cap and masked; nn_sq_dists chunks over QUERY rows only,
+        # so each point's min over the full target set — and hence every
+        # derived metric — is bit-identical to the per-env form.
+        deduped = [chamfer.dedupe_round_cm(pts[:, e][valid[:, e]])
+                   for e in range(n)]
+        has = np.array([len(p) > 0 for p in deduped])
+        if has.any():
+            pmax = -(-max(len(p) for p in deduped) // 1024) * 1024
+            scan = np.zeros((n, pmax, 3), np.float32)
+            smask = np.zeros((n, pmax), bool)
+            for e, p in enumerate(deduped):
+                scan[e, :len(p)] = p
+                smask[e, :len(p)] = True
+            scan_j, smask_j = jnp.asarray(scan), jnp.asarray(smask)
+            gt_j = jnp.asarray(gt_pts[sids], jnp.float32)   # [N, Pg, 3]
+            gm_j = jnp.asarray(gt_mask[sids])
+            nn = lambda a, am, b, bm: chamfer.nn_sq_dists(a, am, b, bm,
+                                                          chunk=128)
+            scan_nn = np.array(jax.vmap(nn)(scan_j, smask_j, gt_j, gm_j))
+            gt_nn = np.array(jax.vmap(nn)(gt_j, gm_j, scan_j, smask_j))
+            # floor of the scan->gt direction: the GT sampling's own NN^2.
+            # A surface-exact scan point still measures ~floor/4 to the
+            # nearest GT sample.
+            floor = np.array(jax.vmap(
+                lambda b, bm: chamfer.sampling_floor(b, bm, chunk=128)
+            )(gt_j, gm_j))
+
+            mmean = lambda d, m: np.where(
+                m.any(axis=1),
+                (np.where(m, d, 0.0).sum(axis=1)
+                 / np.maximum(m.sum(axis=1), 1)),
+                0.0)
+            d_sg = mmean(scan_nn, smask)                    # [N]
+            d_gs = mmean(gt_nn, gt_mask[sids])
             # representation-honesty decomposition (VERDICT r1 item 7):
             # gt->scan splits into gt points NEAR some scan sample (tracks
             # the scan sampling density) and gt points the episode never
             # observed within 2 render voxels (coverage-limited tail) —
             # the unseen tail, not depth quantization, dominates the total.
-            vox = float((box_hi[sid] - box_lo[sid]).max()) / env.scenes.grid_res
-            gt_nn = np.array(chamfer.nn_sq_dists(gj, gm, pj, pm))
-            seen = gt_nn <= (2.0 * vox) ** 2
-            unseens.append(1.0 - float(seen.mean()))
-            g2s_seens.append(float(gt_nn[seen].mean()) * 100.0 if seen.any()
-                             else 0.0)
-            # floor of the scan->gt direction: the GT sampling's own NN^2.
-            # A surface-exact scan point still measures ~floor/4 to the
-            # nearest GT sample.
-            floors.append(float(chamfer.sampling_floor(gj, gm)) * 100.0)
-        mean_acc = float(np.mean(accs)) if accs else float("nan")
-        if accs:
-            acc_s2g = float(np.mean(s2gs))
-            acc_g2s = float(np.mean(g2ss))
-            acc_g2s_seen = float(np.mean(g2s_seens))
-            gt_unseen_frac = float(np.mean(unseens))
-            gt_floor = float(np.mean(floors))
+            vox = (box_hi[sids] - box_lo[sids]).max(axis=1) / env.scenes.grid_res
+            gvalid = gt_mask[sids]
+            seen = (gt_nn <= (2.0 * vox[:, None]) ** 2) & gvalid
+            n_gt = np.maximum(gvalid.sum(axis=1), 1)
+            unseen = 1.0 - seen.sum(axis=1) / n_gt
+            g2s_seen = mmean(gt_nn, seen)
+
+            mean_acc = float(((d_sg + d_gs)[has]).mean() * 100.0)
+            acc_s2g = float(d_sg[has].mean() * 100.0)
+            acc_g2s = float(d_gs[has].mean() * 100.0)
+            acc_g2s_seen = float(g2s_seen[has].mean() * 100.0)
+            gt_unseen_frac = float(unseen[has].mean())
+            gt_floor = float(floor[has].mean() * 100.0)
 
     return EvalResult(
         mean_reward=float(ep_rewards.mean()),

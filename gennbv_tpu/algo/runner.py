@@ -71,6 +71,39 @@ class Runner:
                  eval_depth_source=None):
         """depth_source: pluggable depth feed (env/depth_sources.py) for
         renderer.mode "replay"/"callback"."""
+        # device mesh FIRST: the renderer's "auto" impl policies are
+        # mesh-aware (a pallas_call has no GSPMD partitioning rule — on a
+        # >1-device mesh XLA would all-gather its per-env image operands
+        # every step, breaking the shard-local rollout; config.py
+        # gather_impl_for).  env axis sharded; params replicated (pure DP)
+        # or feature-sharded over a 'model' axis (TP, runner.model_axis > 1)
+        if cfg.runner.model_axis > 1:
+            assert cfg.runner.num_slices == 1, \
+                "model_axis and num_slices are mutually exclusive"
+            self.mesh = mesh_lib.make_mesh_tp(
+                cfg.runner.model_axis, cfg.runner.num_devices)
+        elif cfg.runner.num_slices > 1:
+            self.mesh = mesh_lib.make_multislice_mesh(
+                cfg.runner.num_slices, cfg.runner.num_devices)
+        else:
+            self.mesh = mesh_lib.make_mesh(cfg.runner.num_devices)
+        n_dev = len(self.mesh.devices.flatten())
+        self.multi_device = n_dev > 1
+        if self.multi_device:
+            # pin the resolved gather/scatter impls into the env config so
+            # the envs (and anything reading cfg from the run log) see the
+            # mesh-aware decision; on >1 devices "auto" is height-
+            # independent ("mxu"), so one resolution covers the eval
+            # camera too
+            rend = cfg.env.renderer
+            rend = dataclasses.replace(
+                rend,
+                gather_impl=rend.gather_impl_for(cfg.env.camera.height, n_dev),
+                scatter_impl=rend.scatter_impl_for(cfg.env.camera.height,
+                                                   n_dev))
+            cfg = dataclasses.replace(
+                cfg, env=dataclasses.replace(cfg.env, renderer=rend))
+
         self.cfg = cfg
         rng = jax.random.PRNGKey(cfg.runner.seed)
         self.rng, model_rng = jax.random.split(rng)
@@ -98,20 +131,6 @@ class Runner:
             batch_stats=variables["batch_stats"],
             opt_state=self.tx.init(variables["params"]),
         )
-
-        # device mesh: env axis sharded; params replicated (pure DP) or
-        # feature-sharded over a 'model' axis (TP, runner.model_axis > 1)
-        if cfg.runner.model_axis > 1:
-            assert cfg.runner.num_slices == 1, \
-                "model_axis and num_slices are mutually exclusive"
-            self.mesh = mesh_lib.make_mesh_tp(
-                cfg.runner.model_axis, cfg.runner.num_devices)
-        elif cfg.runner.num_slices > 1:
-            self.mesh = mesh_lib.make_multislice_mesh(
-                cfg.runner.num_slices, cfg.runner.num_devices)
-        else:
-            self.mesh = mesh_lib.make_mesh(cfg.runner.num_devices)
-        self.multi_device = len(self.mesh.devices.flatten()) > 1
 
         self.log_dir = log_dir or os.path.join(
             cfg.runner.log_dir,

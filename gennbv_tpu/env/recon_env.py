@@ -224,6 +224,7 @@ class ReconEnv:
                 surf_pts, surf_mask, centers, self.intrinsics, r_c2w, t_c2w,
                 h, w, cfg.camera.depth_max, jnp.mean(render_vsize), margin,
                 cfg.renderer.footprint,
+                gather_impl=cfg.renderer.gather_impl_for(cfg.camera.height),
             )
             idx, in_bounds = voxel.points_to_voxel_idx(
                 surf_pts, visible, range_gt, vsize)

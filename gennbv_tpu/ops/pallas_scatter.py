@@ -67,7 +67,6 @@ def _kernel(x_ref, yz_ref, out_ref, *, g_pad: int, m_pad: int):
     out_ref[...] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("grid_size", "interpret"))
 def scatter_cells_any(cell_idx: jnp.ndarray, valid: jnp.ndarray,
                       grid_size: int,
                       interpret: bool | None = None) -> jnp.ndarray:
@@ -75,7 +74,12 @@ def scatter_cells_any(cell_idx: jnp.ndarray, valid: jnp.ndarray,
 
     cell_idx [Q, 3] int32 in [0, G); valid [Q] bool.  Bit-identical to
     mxu.scatter_cells_any.  vmap-compatible (the env axis becomes a
-    leading grid dimension)."""
+    leading grid dimension).
+
+    NOT jit-wrapped — same rationale as pallas_gather.gather_image: the
+    production call site is inside the jitted env step, and a pallas_call
+    has no GSPMD partitioning rule, so RendererConfig.scatter_impl_for
+    only routes here on a single-device mesh."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     g = grid_size

@@ -209,6 +209,7 @@ def splat_vis_carve(
     voxel_eps: jnp.ndarray,   # scalar: visibility slack
     carve_margin: jnp.ndarray,  # scalar: carve z-test margin
     footprint: int = 1,
+    gather_impl: str = "mxu",  # merged + radix gathers: "mxu" | "pallas*"
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Splat z-buffer + visibility + z-test carve in ONE merged image
     gather (mxu z-buffer path only).  Returns (zbuf [H*W], visible [Q],
@@ -228,7 +229,8 @@ def splat_vis_carve(
     vic, uic, z, ok = project_px(surf_pts, surf_mask, k, r_c2w, t_c2w,
                                  height, width)
     zbuf, eps_eff = _zbuf_px(vic, uic, z, ok, height, width, depth_max,
-                             voxel_eps, footprint, "mxu")
+                             voxel_eps, footprint, "mxu",
+                             gather_impl=gather_impl)
 
     # project the mapping voxel centers — carve_ztest's exact projection
     # (its near-plane threshold differs from project_px's)
@@ -236,10 +238,16 @@ def splat_vis_carve(
         centers, k, r_c2w, t_c2w, height, width)
 
     q = vic.shape[0]
-    z_at = mxu.gather_image(
-        zbuf.reshape(height, width),
-        jnp.concatenate([vic, cvi]), jnp.concatenate([uic, cui]),
-        exact=False)
+    cat_vi = jnp.concatenate([vic, cvi])
+    cat_ui = jnp.concatenate([uic, cui])
+    if gather_impl.startswith("pallas"):
+        from gennbv_tpu.ops import pallas_gather
+        z_at = pallas_gather.gather_image(
+            zbuf.reshape(height, width), cat_vi, cat_ui,
+            fused=gather_impl == "pallas_fused")
+    else:
+        z_at = mxu.gather_image(
+            zbuf.reshape(height, width), cat_vi, cat_ui, exact=False)
     visible = ok & (z <= z_at[:q] + eps_eff)
     d_px = z_at[q:]
     fg_px = d_px < depth_max * (1.0 - 1e-4)

@@ -153,6 +153,49 @@ def test_objects_sceneset_zero_shot_family():
     assert float(out.coverage.max()) > 0.0
 
 
+def test_convex_sceneset_floor_probe_family():
+    """dataset='convex' (single cavity-free primitives — the chamfer-floor
+    probe family): every scene is nonempty, has NO interior cavities
+    (all free space is flood-reachable from the box boundary, so no GT
+    surface hides inside an unreachable void), and runs through the full
+    env step unchanged."""
+    from gennbv_tpu.env.scene import generate_procedural
+
+    r = 24
+    cfg = SceneConfig(num_scenes=8, seed=0, dataset="convex")
+    scenes = generate_procedural(cfg, grid_res=r)
+    occ = np.array(scenes.render_occ).reshape(-1, r, r, r)
+    frac = occ.mean(axis=(1, 2, 3))
+    assert (frac > 0.003).all() and (frac < 0.6).all(), frac
+
+    for s in range(occ.shape[0]):
+        free = occ[s] == 0
+        reach = np.zeros_like(free)
+        # seed: free voxels on the box boundary (above-ground sides + top)
+        reach[0], reach[-1] = free[0], free[-1]
+        reach[:, 0], reach[:, -1] = free[:, 0], free[:, -1]
+        reach[:, :, -1] = free[:, :, -1]
+        for _ in range(3 * r):  # 6-connected flood fill to fixpoint
+            grown = reach.copy()
+            grown[1:] |= reach[:-1]
+            grown[:-1] |= reach[1:]
+            grown[:, 1:] |= reach[:, :-1]
+            grown[:, :-1] |= reach[:, 1:]
+            grown[:, :, 1:] |= reach[:, :, :-1]
+            grown[:, :, :-1] |= reach[:, :, 1:]
+            grown &= free
+            if (grown == reach).all():
+                break
+            reach = grown
+        assert (reach == free).all(), f"scene {s} has an interior cavity"
+
+    env_cfg = _tiny_env_cfg(scene=cfg)
+    env = ReconEnv(env_cfg, make_scenes(cfg, env_cfg.renderer.resolution))
+    state, out = env.reset(4)
+    assert bool(jnp.all(jnp.isfinite(out.obs)))
+    assert float(out.coverage.max()) > 0.0
+
+
 def test_export_recurrent_policy_roundtrip(tmp_path):
     """Recurrent StableHLO export carries the hidden state in the signature
     (PolicyExporterLSTM counterpart) and matches the live model."""

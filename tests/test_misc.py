@@ -43,6 +43,12 @@ class TestConfig:
         cleared = apply_overrides(Config(),
                                   ("env.coverage_done_threshold=none",))
         assert cleared.env.coverage_done_threshold is None
+        # ... but is REJECTED on non-Optional fields (advisor r3: the
+        # silent None would fail far downstream, or never error)
+        with pytest.raises(ValueError, match="non-Optional"):
+            apply_overrides(Config(), ("env.num_envs=none",))
+        with pytest.raises(ValueError, match="non-Optional"):
+            apply_overrides(Config(), ("env.carve_mode=none",))
         # original untouched (immutably rebuilt)
         assert Config().env.num_envs == spec.PPO_NUM_ENVS
 
@@ -66,6 +72,11 @@ class TestConfig:
         assert r.gather_impl == "auto"
         assert r.gather_impl_for(128) == "pallas"
         assert r.gather_impl_for(400) == "mxu"
+        # mesh-aware: pallas_call has no GSPMD partitioning rule, so auto
+        # never picks it when the env axis spans >1 device (r3 verdict
+        # weak #1: per-step rollout all-gathers)
+        assert r.gather_impl_for(128, n_devices=8) == "mxu"
+        assert r.scatter_impl_for(128, n_devices=8) == "mxu"
         forced = apply_overrides(Config(), ("env.renderer.gather_impl=mxu",))
         assert forced.env.renderer.gather_impl_for(128) == "mxu"
         bad = apply_overrides(Config(), ("env.renderer.gather_impl=typo",))

@@ -467,7 +467,11 @@ class TestPallasScatter:
         from gennbv_tpu.ops import pallas_scatter
 
         rng = np.random.default_rng(1)
-        n, g, q = 3, 20, 530   # q > CHUNK exercises padding
+        # q > ROWS*CHUNK (4096) so the vmapped kernel runs MULTIPLE grid
+        # steps per env, exercising the program_id(0)==0 zero-init and the
+        # += accumulation under the batching rule's program_id remapping —
+        # the interaction production hits (Q~11k)
+        n, g, q = 3, 20, 5000
         idx = jnp.asarray(rng.integers(0, g, (n, q, 3)), jnp.int32)
         valid = jnp.asarray(rng.random((n, q)) < 0.5)
         valid = valid.at[2].set(False)          # one env all-invalid

@@ -168,8 +168,13 @@ def main(argv=None):
     variables = CheckpointManager(models_dir).restore_policy(ckpt_name)
 
     report = {"checkpoint": ckpt_name}
+    # convex_floor_probe: single cavity-free primitives (env/scene.py) where
+    # every GT surface point is imageable — demonstrates the chamfer metric
+    # converges toward the GT sampling floor when geometry permits (on
+    # houses a never-imaged interior tail dominates gt2scan; r3 weak #6)
     for tag, dataset, seed in (("held_out_houses", scn.get("dataset", "procedural"), args.eval_seed),
-                               ("objects_zero_shot", "objects", args.eval_seed + 1)):
+                               ("objects_zero_shot", "objects", args.eval_seed + 1),
+                               ("convex_floor_probe", "convex", args.eval_seed + 2)):
         scenes = make_scenes(scene_cfg(dataset, seed), env_cfg.renderer.resolution)
         env = ReconEnv(dataclasses.replace(env_cfg, scene=scene_cfg(dataset, seed)), scenes)
         res = evaluation.evaluate(env, model, variables)
