@@ -83,3 +83,103 @@ class TestFpsEvidence:
         assert payload["summary"]["n"] == 2
         assert payload["camera"]["height"] == 128
         assert len(payload["iterations"]) == 3
+
+
+class _Recorder:
+    """File-like stream that timestamps writes into a shared event log, so
+    the test can assert ordering between prints and bench legs."""
+
+    def __init__(self, events):
+        self.events = events
+        self.lines = []
+
+    def write(self, s):
+        if s.strip():
+            self.events.append(("print", s.strip()))
+            self.lines.append(s.strip())
+
+    def flush(self):
+        self.events.append(("flush", None))
+
+
+def _args(**kw):
+    import argparse
+    base = dict(iters=1, skip_400=False, budget_400=1500.0)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+class TestEmitTimeoutProof:
+    """bench.emit must never lose the 128^2 headline to a slow/broken 400^2
+    leg (VERDICT r4: BENCH_r04.json rc=124, parsed null)."""
+
+    @staticmethod
+    def _fake_bench(events, on_400=None):
+        def fn(camera, iters, phases=True):
+            events.append(("bench", camera))
+            if camera == 400 and on_400 is not None:
+                return on_400()
+            return {"value": 1000.0 + camera, "camera": camera}
+        return fn
+
+    def test_headline_flushed_before_400_leg_starts(self):
+        events = []
+        out = _Recorder(events)
+        bench.emit(self._fake_bench(events), _args(), out=out)
+        # a kill any time during the 400 leg still leaves the headline:
+        first_print = events.index(("print", out.lines[0]))
+        leg_400 = events.index(("bench", 400))
+        assert first_print < leg_400, "headline must be printed first"
+        assert ("flush", None) in events[first_print:leg_400]
+        # both emitted lines parse; last line carries the merged result
+        assert len(out.lines) == 2
+        head = json.loads(out.lines[0])
+        assert head["value"] == 1128.0 and "camera400" not in head
+        merged = json.loads(out.lines[1])
+        assert merged["camera400"]["value"] == 1400.0
+        assert merged["value"] == 1128.0
+
+    def test_400_exception_degrades_to_error_field(self):
+        events = []
+        out = _Recorder(events)
+
+        def boom():
+            raise RuntimeError("tunnel died")
+
+        bench.emit(self._fake_bench(events, on_400=boom), _args(), out=out)
+        assert json.loads(out.lines[0])["value"] == 1128.0
+        assert "tunnel died" in json.loads(out.lines[1])["camera400"]["error"]
+
+    def test_exhausted_budget_skips_400_leg(self):
+        events = []
+        out = _Recorder(events)
+        bench.emit(self._fake_bench(events), _args(budget_400=0.0), out=out)
+        assert ("bench", 400) not in events
+        assert "skipped" in json.loads(out.lines[1])["camera400"]
+
+    def test_sigalrm_aborts_overlong_400_leg(self, monkeypatch):
+        import time as _time
+        events = []
+        out = _Recorder(events)
+
+        def slow():
+            _time.sleep(30)  # would blow the budget; alarm must cut it
+            return {"value": -1.0}
+
+        # lower the start-worthiness floor so the 1 s budget reaches the
+        # alarm path instead of the early skip
+        monkeypatch.setattr(bench, "MIN_400_BUDGET", 0.0)
+        t0 = _time.perf_counter()
+        bench.emit(self._fake_bench(events, on_400=slow),
+                   _args(budget_400=1.0), out=out)
+        assert _time.perf_counter() - t0 < 10, "alarm did not fire"
+        assert ("bench", 400) in events  # the leg really started
+        assert json.loads(out.lines[0])["value"] == 1128.0
+        assert "skipped" in json.loads(out.lines[1])["camera400"]
+
+    def test_skip_400_prints_single_headline(self):
+        events = []
+        out = _Recorder(events)
+        bench.emit(self._fake_bench(events), _args(skip_400=True), out=out)
+        assert len(out.lines) == 1
+        assert json.loads(out.lines[0])["value"] == 1128.0
