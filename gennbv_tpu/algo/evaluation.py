@@ -133,6 +133,91 @@ def _init_points(env, scene_id, point_stride: int):
     return jax.vmap(one)(scene_id, poses)
 
 
+def batched_accuracy(deduped, gt_pts, gt_mask, vox, group: int | None = None):
+    """Reconstruction-accuracy metrics over all envs' episode scans.
+
+    One batched NN pass over all envs instead of a per-env host loop of
+    serial jitted dispatches (round-3 verdict weak #7: on a single-core
+    host with a tunneled device, 50 x 4 sequential dispatches serialize on
+    the host).  Scan points are padded to a common cap and masked;
+    nn_sq_dists chunks over QUERY rows only, so each point's min over the
+    full target set — and hence every derived metric — is bit-identical
+    to the per-env form (tests/test_runner.py::test_batched_accuracy_*).
+
+    Envs are vmapped in groups of `group` to cap the NN pass's
+    [group, chunk=128, P] squared-distance transient (~group*128*P*4
+    bytes; the ungrouped N=50 vmap peaked ~2 GB at the 400^2 eval
+    config's ~77k-point pads — ADVICE r4).  group=None adapts to the
+    padded point count so the transient stays under ~256 MB even at
+    point_stride 1-2 (pads of several hundred k points).
+
+    Args: deduped — list of N [Pi, 3] arrays (rounded/deduped scan
+    points, possibly empty); gt_pts/gt_mask — [N, Pg, 3]/[N, Pg]
+    scene-gathered GT samples; vox — [N] render voxel size.
+
+    Returns (mean_acc_cm, acc_s2g_cm, acc_g2s_cm, acc_g2s_seen_cm,
+    gt_unseen_frac, gt_floor_cm); all NaN when no env has scan points.
+    """
+    n = len(deduped)
+    gt_mask = np.asarray(gt_mask)
+    has = np.array([len(p) > 0 for p in deduped])
+    if not has.any():
+        nan = float("nan")
+        return nan, nan, nan, nan, nan, nan
+
+    pmax = -(-max(len(p) for p in deduped) // 1024) * 1024
+    if group is None:
+        biggest = max(pmax, gt_pts.shape[1])
+        group = max(1, min(8, int(2.5e8 // (128 * biggest * 4))))
+    scan = np.zeros((n, pmax, 3), np.float32)
+    smask = np.zeros((n, pmax), bool)
+    for e, p in enumerate(deduped):
+        scan[e, :len(p)] = p
+        smask[e, :len(p)] = True
+    scan_j, smask_j = jnp.asarray(scan), jnp.asarray(smask)
+    gt_j = jnp.asarray(gt_pts, jnp.float32)                 # [N, Pg, 3]
+    gm_j = jnp.asarray(gt_mask)
+
+    nn = lambda a, am, b, bm: chamfer.nn_sq_dists(a, am, b, bm, chunk=128)
+
+    def grouped(fn, *arrs):
+        outs = [np.array(jax.vmap(fn)(*(a[s:s + group] for a in arrs)))
+                for s in range(0, n, group)]
+        return np.concatenate(outs)
+
+    scan_nn = grouped(nn, scan_j, smask_j, gt_j, gm_j)      # [N, pmax]
+    gt_nn = grouped(nn, gt_j, gm_j, scan_j, smask_j)        # [N, Pg]
+    # floor of the scan->gt direction: the GT sampling's own NN^2.
+    # A surface-exact scan point still measures ~floor/4 to the
+    # nearest GT sample.
+    floor = grouped(
+        lambda b, bm: chamfer.sampling_floor(b, bm, chunk=128), gt_j, gm_j)
+
+    mmean = lambda d, m: np.where(
+        m.any(axis=1),
+        (np.where(m, d, 0.0).sum(axis=1) / np.maximum(m.sum(axis=1), 1)),
+        0.0)
+    d_sg = mmean(scan_nn, smask)                            # [N]
+    d_gs = mmean(gt_nn, gt_mask)
+    # representation-honesty decomposition (VERDICT r1 item 7):
+    # gt->scan splits into gt points NEAR some scan sample (tracks
+    # the scan sampling density) and gt points the episode never
+    # observed within 2 render voxels (coverage-limited tail) —
+    # the unseen tail, not depth quantization, dominates the total.
+    vox = np.asarray(vox)
+    seen = (gt_nn <= (2.0 * vox[:, None]) ** 2) & gt_mask
+    n_gt = np.maximum(gt_mask.sum(axis=1), 1)
+    unseen = 1.0 - seen.sum(axis=1) / n_gt
+    g2s_seen = mmean(gt_nn, seen)
+
+    return (float(((d_sg + d_gs)[has]).mean() * 100.0),
+            float(d_sg[has].mean() * 100.0),
+            float(d_gs[has].mean() * 100.0),
+            float(g2s_seen[has].mean() * 100.0),
+            float(unseen[has].mean()),
+            float(floor[has].mean() * 100.0))
+
+
 def evaluate(env, model, variables, point_stride: int = 8,
              compute_accuracy: bool = True) -> EvalResult:
     n = env.cfg.num_envs
@@ -195,62 +280,12 @@ def evaluate(env, model, variables, point_stride: int = 8,
         box_hi = np.array(env.scenes.box_hi)
         sids = np.array(env_state.scene_id)
 
-        # ONE batched NN pass over all envs instead of a per-env host loop
-        # of serial jitted dispatches (round-3 verdict weak #7: on a
-        # single-core host with a tunneled device, 50 x 4 sequential
-        # dispatches serialize on the host).  Scan points are padded to a
-        # common cap and masked; nn_sq_dists chunks over QUERY rows only,
-        # so each point's min over the full target set — and hence every
-        # derived metric — is bit-identical to the per-env form.
         deduped = [chamfer.dedupe_round_cm(pts[:, e][valid[:, e]])
                    for e in range(n)]
-        has = np.array([len(p) > 0 for p in deduped])
-        if has.any():
-            pmax = -(-max(len(p) for p in deduped) // 1024) * 1024
-            scan = np.zeros((n, pmax, 3), np.float32)
-            smask = np.zeros((n, pmax), bool)
-            for e, p in enumerate(deduped):
-                scan[e, :len(p)] = p
-                smask[e, :len(p)] = True
-            scan_j, smask_j = jnp.asarray(scan), jnp.asarray(smask)
-            gt_j = jnp.asarray(gt_pts[sids], jnp.float32)   # [N, Pg, 3]
-            gm_j = jnp.asarray(gt_mask[sids])
-            nn = lambda a, am, b, bm: chamfer.nn_sq_dists(a, am, b, bm,
-                                                          chunk=128)
-            scan_nn = np.array(jax.vmap(nn)(scan_j, smask_j, gt_j, gm_j))
-            gt_nn = np.array(jax.vmap(nn)(gt_j, gm_j, scan_j, smask_j))
-            # floor of the scan->gt direction: the GT sampling's own NN^2.
-            # A surface-exact scan point still measures ~floor/4 to the
-            # nearest GT sample.
-            floor = np.array(jax.vmap(
-                lambda b, bm: chamfer.sampling_floor(b, bm, chunk=128)
-            )(gt_j, gm_j))
-
-            mmean = lambda d, m: np.where(
-                m.any(axis=1),
-                (np.where(m, d, 0.0).sum(axis=1)
-                 / np.maximum(m.sum(axis=1), 1)),
-                0.0)
-            d_sg = mmean(scan_nn, smask)                    # [N]
-            d_gs = mmean(gt_nn, gt_mask[sids])
-            # representation-honesty decomposition (VERDICT r1 item 7):
-            # gt->scan splits into gt points NEAR some scan sample (tracks
-            # the scan sampling density) and gt points the episode never
-            # observed within 2 render voxels (coverage-limited tail) —
-            # the unseen tail, not depth quantization, dominates the total.
-            vox = (box_hi[sids] - box_lo[sids]).max(axis=1) / env.scenes.grid_res
-            gvalid = gt_mask[sids]
-            seen = (gt_nn <= (2.0 * vox[:, None]) ** 2) & gvalid
-            n_gt = np.maximum(gvalid.sum(axis=1), 1)
-            unseen = 1.0 - seen.sum(axis=1) / n_gt
-            g2s_seen = mmean(gt_nn, seen)
-
-            mean_acc = float(((d_sg + d_gs)[has]).mean() * 100.0)
-            acc_s2g = float(d_sg[has].mean() * 100.0)
-            acc_g2s = float(d_gs[has].mean() * 100.0)
-            acc_g2s_seen = float(g2s_seen[has].mean() * 100.0)
-            gt_unseen_frac = float(unseen[has].mean())
-            gt_floor = float(floor[has].mean() * 100.0)
+        vox = (box_hi[sids] - box_lo[sids]).max(axis=1) / env.scenes.grid_res
+        (mean_acc, acc_s2g, acc_g2s, acc_g2s_seen,
+         gt_unseen_frac, gt_floor) = batched_accuracy(
+            deduped, gt_pts[sids], gt_mask[sids], vox)
 
     return EvalResult(
         mean_reward=float(ep_rewards.mean()),

@@ -96,6 +96,9 @@ def update(
     m = obs.shape[0]
     n_mb = m // cfg.batch_size
     assert n_mb * cfg.batch_size == m, "batch_size must divide n_steps*num_envs"
+    if cfg.apply_mode not in ("select", "cond"):
+        raise ValueError(f"ppo.apply_mode={cfg.apply_mode!r}: "
+                         "expected 'select' or 'cond'")
 
     s = _minibatch_shards(cfg, num_envs) if num_envs else 1
     if s > 1:
@@ -209,24 +212,39 @@ def update(
             }
             (loss, aux), grads = grad_fn(params, batch_stats, mb)
             new_stats, pg, vl, el, kl, cf = aux
-            if kl_threshold is not None:
-                keep = kl <= kl_threshold
-            else:
-                keep = jnp.asarray(True)
+            metrics = jnp.stack([pg, vl, el, kl, cf, jnp.asarray(1.0, jnp.float32)])
 
-            updates, new_opt = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            def do_update(_):
+                updates, new_opt = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), new_stats, new_opt
 
+            if kl_threshold is None:
+                # no early stop: apply unconditionally (keep == True)
+                new_params, stats2, opt2 = do_update(None)
+                return (new_params, stats2, opt2, cont, sums + metrics)
+
+            keep = kl <= kl_threshold
+            masked = sums + jnp.where(keep, metrics, jnp.zeros_like(metrics))
+            if cfg.apply_mode == "cond":
+                # keep decided BEFORE the optimizer apply; only the taken
+                # branch executes — bitwise-identical to "select" without
+                # its three tree-sized jnp.where round-trips per minibatch
+                # (config.py apply_mode; measured in tools/probe_update.py)
+                new_params, stats2, opt2 = jax.lax.cond(
+                    keep, do_update,
+                    lambda _: (params, batch_stats, opt_state), None)
+                return (new_params, stats2, opt2, cont & keep, masked)
+
+            new_params, stats2, opt2 = do_update(None)
             sel = lambda a, b: jax.tree.map(
                 lambda x, y: jnp.where(keep, x, y), a, b
             )
-            metrics = jnp.stack([pg, vl, el, kl, cf, jnp.asarray(1.0, jnp.float32)])
             return (
                 sel(new_params, params),
-                sel(new_stats, batch_stats),
-                sel(new_opt, opt_state),
+                sel(stats2, batch_stats),
+                sel(opt2, opt_state),
                 cont & keep,
-                sums + jnp.where(keep, metrics, jnp.zeros_like(metrics)),
+                masked,
             )
 
         def skipped(_):

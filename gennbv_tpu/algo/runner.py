@@ -21,7 +21,7 @@ import numpy as np
 from gennbv_tpu import spec
 from gennbv_tpu.algo import evaluation, gae, ppo, rollout
 from gennbv_tpu.config import (Config, config_to_dict, eval_env_config,
-                               with_camera)
+                               resolve_renderer_impls, with_camera)
 from gennbv_tpu.env import ReconEnv, make_scenes
 from gennbv_tpu.models import init_policy
 from gennbv_tpu.parallel import mesh as mesh_lib
@@ -94,15 +94,10 @@ class Runner:
             # the envs (and anything reading cfg from the run log) see the
             # mesh-aware decision; on >1 devices "auto" is height-
             # independent ("mxu"), so one resolution covers the eval
-            # camera too
-            rend = cfg.env.renderer
-            rend = dataclasses.replace(
-                rend,
-                gather_impl=rend.gather_impl_for(cfg.env.camera.height, n_dev),
-                scatter_impl=rend.scatter_impl_for(cfg.env.camera.height,
-                                                   n_dev))
+            # camera too.  (ReconEnv re-resolves against jax.device_count()
+            # at build as a backstop — config.resolve_renderer_impls.)
             cfg = dataclasses.replace(
-                cfg, env=dataclasses.replace(cfg.env, renderer=rend))
+                cfg, env=resolve_renderer_impls(cfg.env, n_dev))
 
         self.cfg = cfg
         rng = jax.random.PRNGKey(cfg.runner.seed)

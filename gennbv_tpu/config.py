@@ -200,6 +200,27 @@ def with_camera(env_cfg: EnvConfig, resolution: int) -> EnvConfig:
             env_cfg.camera, height=resolution, width=resolution))
 
 
+def resolve_renderer_impls(env_cfg: EnvConfig, n_devices: int) -> EnvConfig:
+    """Pin the mesh-aware "auto" renderer impls into an env config.
+
+    The shared resolution entry point for EVERY env-construction path
+    (Runner pins at mesh build; ReconEnv pins at its own build against
+    jax.device_count()), so code constructing a ReconEnv directly from a
+    fresh config on a multi-device host cannot silently resolve
+    auto->pallas and reintroduce the per-step all-gather regression
+    (tests/test_runner.py::test_update_has_no_rollout_allgather).
+    Non-"auto" values pass through unchanged."""
+    rend = env_cfg.renderer
+    if rend.gather_impl != "auto" and rend.scatter_impl != "auto":
+        return env_cfg
+    rend = dataclasses.replace(
+        rend,
+        gather_impl=rend.gather_impl_for(env_cfg.camera.height, n_devices),
+        scatter_impl=rend.scatter_impl_for(env_cfg.camera.height, n_devices),
+    )
+    return dataclasses.replace(env_cfg, renderer=rend)
+
+
 def eval_env_config(train_cfg: EnvConfig) -> EnvConfig:
     """The eval-env variant (config_gennbv_eval.py:6-14 +
     env_eval_gennbv check_termination): 30-step episodes, only the
@@ -254,6 +275,15 @@ class PPOConfig:
     # entropy hit -4.4 by iter 2000 and exploration plateaued)
     ent_floor: Optional[float] = None
     ent_floor_coef: float = 0.1
+    # how the minibatch scan applies/discards an update under the KL early
+    # stop: "select" = run tx.update unconditionally then keep-or-discard
+    # via three tree-sized jnp.where selects (the original form); "cond" =
+    # decide keep first and lax.cond the optimizer apply, executing only
+    # the taken branch — bitwise-identical training trajectory
+    # (tests/test_ppo.py::test_apply_mode_parity) minus the select's
+    # ~3x(params+opt_state) HBM round-trip per minibatch.  Measured with
+    # tools/probe_update.py (see BENCHMARKS.md update-phase section).
+    apply_mode: str = "select"
     # logical env groups for minibatch sampling: minibatches are drawn
     # balanced across this many fixed env groups (one permutation each), so
     # gathers stay shard-local on any device count that divides it and the

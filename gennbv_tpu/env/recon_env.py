@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gennbv_tpu import spec
-from gennbv_tpu.config import EnvConfig
+from gennbv_tpu.config import EnvConfig, resolve_renderer_impls
 from gennbv_tpu.env import scene as scene_lib
 from gennbv_tpu.ops import backproject, camera, carve, render, splat, voxel
 
@@ -80,6 +80,14 @@ class ReconEnv:
         """depth_source: required for renderer.mode "replay"/"callback"
         (env/depth_sources.py) — the pluggable Isaac Gym camera replacement;
         ignored for the built-in "splat"/"dda" renderers."""
+        # pin the mesh-aware "auto" renderer impls against the actual host
+        # device count (config.resolve_renderer_impls): a ReconEnv built
+        # directly from a fresh config on a multi-device host must not
+        # resolve auto->pallas — a pallas_call has no GSPMD partitioning
+        # rule, so the sharded rollout would all-gather its image operands
+        # every step.  Runner pins earlier against its mesh size; non-auto
+        # values pass through, so the two resolutions compose.
+        cfg = resolve_renderer_impls(cfg, jax.device_count())
         self.cfg = cfg
         self.scenes = scenes
         self.depth_source = depth_source
@@ -151,6 +159,7 @@ class ReconEnv:
                 r_c2w, t_c2w, cfg.camera.height, cfg.camera.width,
                 cfg.camera.depth_max, veps, cfg.renderer.footprint,
                 cfg.renderer.zbuf_impl, None,
+                gather_impl=cfg.renderer.gather_impl_for(cfg.camera.height),
             )
             hit, trav = jax.vmap(self._hits_carve_one)(
                 sid, r_c2w, t_c2w, zbuf, vis)
@@ -319,6 +328,7 @@ class ReconEnv:
             cfg.renderer.footprint, cfg.renderer.zbuf_impl, cap,
             skip_env=fresh,
             band_split=band_split, band_cap=band_cap,
+            gather_impl=cfg.renderer.gather_impl_for(h),
         )
         hit, trav = jax.vmap(self._hits_carve_one)(
             scene_id, r_c2w, t_c2w, zbuf, visible)

@@ -425,6 +425,13 @@ def splat_depth_batch(
                                            # adaptive paths skip their work
     band_split: int | None = None,         # row bands B for the banded path
     band_cap: int | None = None,           # per-band point cap C
+    gather_impl: str = "mxu",              # per-point image gathers (see
+                                           # splat_depth); threaded into the
+                                           # dense fallback and the compact
+                                           # fine pass — the banded kernel's
+                                           # band-local gathers stay mxu
+                                           # (its per-band GEMMs are the
+                                           # point of that path)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched splat over N envs: (zbuf [N, H*W], fg [N, H*W], vis [N, Q]).
 
@@ -492,7 +499,7 @@ def splat_depth_batch(
             def one(vic1, uic1, z1, ok1, zm, zr, ve):
                 return zbuf_vis_px(vic1, uic1, z1, ok1, height, width,
                                    depth_max, ve, footprint, "mxu",
-                                   zminmax=(zm, zr))
+                                   zminmax=(zm, zr), gather_impl=gather_impl)
             return jax.vmap(one)(vic, uic, z, ok, zmin, zrange, voxel_eps)
 
         zbuf, vis = jax.lax.cond(overflow, dense_all, banded_all, ())
@@ -502,7 +509,7 @@ def splat_depth_batch(
         return jax.vmap(
             lambda sp, sm, r, t, ve: splat_depth(
                 sp, sm, k, r, t, height, width, depth_max, ve,
-                footprint, zbuf_impl)
+                footprint, zbuf_impl, gather_impl=gather_impl)
         )(surf_pts, surf_mask, r_c2w, t_c2w, voxel_eps)
 
     # shared projection
@@ -520,7 +527,7 @@ def splat_depth_batch(
         def one(vic1, uic1, z1, ok1, zm, zr, ve):
             return zbuf_vis_px(vic1, uic1, z1, ok1, height, width,
                                depth_max, ve, footprint, "mxu",
-                               zminmax=(zm, zr))
+                               zminmax=(zm, zr), gather_impl=gather_impl)
         return jax.vmap(one)(vic, uic, z, ok, zmin, zrange, voxel_eps)
 
     cap = int(compact_cap)
@@ -591,7 +598,7 @@ def splat_depth_batch(
         def fine_one(vic1, uic1, z1, ok1, zm, zr, ve):
             return zbuf_vis_px(vic1, uic1, z1, ok1, height, width,
                                depth_max, ve, footprint, "mxu",
-                               zminmax=(zm, zr))
+                               zminmax=(zm, zr), gather_impl=gather_impl)
 
         zbuf, vis_c = jax.vmap(fine_one)(vic_c, uic_c, z_c, ok_c,
                                          zmin, zrange, voxel_eps)

@@ -419,24 +419,30 @@ class TestPallasGather:
             renderer=RendererConfig(resolution=24, gather_impl="mxu"),
             scene=SceneConfig(num_scenes=4, seed=3),
         )
-        cfg_p = dataclasses.replace(
-            cfg, renderer=dataclasses.replace(cfg.renderer,
-                                              gather_impl="pallas"))
         scenes = make_scenes(cfg.scene, cfg.renderer.resolution)
-        env_a, env_p = ReconEnv(cfg, scenes), ReconEnv(cfg_p, scenes)
-        state_a, out_a = env_a.reset(4)
-        state_p, out_p = env_p.reset(4)
-        np.testing.assert_array_equal(np.array(out_a.obs), np.array(out_p.obs))
+        envs = [ReconEnv(dataclasses.replace(
+                    cfg, renderer=dataclasses.replace(cfg.renderer,
+                                                      gather_impl=gi)),
+                         scenes)
+                for gi in ("mxu", "pallas", "pallas_fused")]
+        states, outs = zip(*(e.reset(4) for e in envs))
+        states = list(states)
+        for o in outs[1:]:
+            np.testing.assert_array_equal(np.array(outs[0].obs),
+                                          np.array(o.obs))
         rng = np.random.default_rng(0)
         for _ in range(3):
-            acts = jnp.asarray(rng.integers(0, np.asarray(env_a.nvec), (4, 6)),
-                               jnp.int32)
-            state_a, out_a = env_a.step(state_a, acts)
-            state_p, out_p = env_p.step(state_p, acts)
-            np.testing.assert_array_equal(np.array(out_a.obs),
-                                          np.array(out_p.obs))
-            np.testing.assert_array_equal(np.array(out_a.reward),
-                                          np.array(out_p.reward))
+            acts = jnp.asarray(rng.integers(0, np.asarray(envs[0].nvec),
+                                            (4, 6)), jnp.int32)
+            outs = []
+            for i, e in enumerate(envs):
+                states[i], out = e.step(states[i], acts)
+                outs.append(out)
+            for o in outs[1:]:
+                np.testing.assert_array_equal(np.array(outs[0].obs),
+                                              np.array(o.obs))
+                np.testing.assert_array_equal(np.array(outs[0].reward),
+                                              np.array(o.reward))
 
 class TestPallasScatter:
     """ops/pallas_scatter.py must be bit-identical to

@@ -201,3 +201,62 @@ def test_linear_lr_schedule():
 
     with pytest.raises(ValueError, match="lr_schedule"):
         ppo.make_optimizer(PPOConfig(lr_schedule="cosine"), 8)
+
+
+class TestApplyModeParity:
+    """apply_mode="cond" (lax.cond the optimizer apply) must be bitwise-
+    identical to the shipped "select" form (three tree-sized jnp.where) —
+    both in steady state and when the KL early stop triggers mid-scan."""
+
+    def _run(self, apply_mode, target_kl, seed=7):
+        import dataclasses
+        cfg = PPOConfig(batch_size=64, n_epochs=3, learning_rate=1e-3,
+                        target_kl=target_kl, policy_loss_mult=10.0,
+                        apply_mode=apply_mode)
+        model = TinyPolicy()
+        rng = jax.random.PRNGKey(seed)
+        ts, tx = make_ts(model, rng, 4, cfg)
+        rng, r1, r2 = jax.random.split(rng, 3)
+        obs_rng, act_rng = jax.random.split(r1)
+        targets = jax.random.randint(obs_rng, (256,), 0, 4)
+        obs = jax.nn.one_hot(targets, 4)
+        out = model.apply({"params": ts.params,
+                           "batch_stats": ts.batch_stats}, obs, train=False)
+        actions = distributions.sample(out.logits, act_rng)
+        logp = distributions.log_prob(out.logits, actions)
+        rewards = (actions[:, 0] == targets).astype(jnp.float32)
+        ts2, m = jax.jit(
+            lambda ts, r: ppo.update(model, tx, cfg, ts, obs, actions, logp,
+                                     out.value, rewards - out.value, rewards,
+                                     r)
+        )(ts, r2)
+        return ts2, m
+
+    def _assert_same(self, kl):
+        ts_a, m_a = self._run("select", kl)
+        ts_b, m_b = self._run("cond", kl)
+        for x, y in zip(jax.tree.leaves((ts_a.params, ts_a.opt_state,
+                                         ts_a.batch_stats)),
+                        jax.tree.leaves((ts_b.params, ts_b.opt_state,
+                                         ts_b.batch_stats))):
+            np.testing.assert_array_equal(np.array(x), np.array(y))
+        for x, y in zip(m_a, m_b):
+            np.testing.assert_array_equal(np.array(x), np.array(y))
+
+    def test_steady_state_bitwise_equal(self):
+        self._assert_same(kl=0.5)   # never triggers: all minibatches apply
+
+    def test_early_stop_bitwise_equal(self):
+        # triggers after some minibatches (moderate threshold)
+        ts_a, m_a = self._run("select", 1e-5)
+        ts_b, m_b = self._run("cond", 1e-5)
+        assert float(m_a.n_minibatches_done) < 12.0  # it really stopped
+        np.testing.assert_array_equal(
+            np.array(m_a.n_minibatches_done), np.array(m_b.n_minibatches_done))
+        for x, y in zip(jax.tree.leaves(ts_a.params),
+                        jax.tree.leaves(ts_b.params)):
+            np.testing.assert_array_equal(np.array(x), np.array(y))
+
+    def test_bad_mode_rejected(self):
+        with pytest.raises(ValueError, match="apply_mode"):
+            self._run("typo", 0.5)

@@ -108,6 +108,21 @@ def main(argv=None):
                          "coverage only under a high-fidelity sensor — a "
                          "128-trained policy measured +7.7 points going "
                          "128 -> 400 (BENCHMARKS.md).")
+    ap.add_argument("--point_stride", type=int, default=8,
+                    help="pixel stride of the scan points accumulated for "
+                         "the chamfer accuracy (the reference accumulates "
+                         "EVERY foreground pixel, i.e. stride 1 — "
+                         "env_eval_gennbv.py:158-164; our default 8 keeps "
+                         "the [T,N,S,3] buffer small but undersamples "
+                         "grazing-angle surfaces ~stride-fold)")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated eval-family tags to run "
+                         "(held_out_houses,objects_zero_shot,"
+                         "convex_floor_probe); default all")
+    ap.add_argument("--report_name", type=str, default="report.json",
+                    help="filename for the report inside run_dir (use a "
+                         "distinct name for probe re-runs so the canonical "
+                         "report is not clobbered)")
     args = ap.parse_args(argv)
 
     import dataclasses
@@ -172,12 +187,16 @@ def main(argv=None):
     # every GT surface point is imageable — demonstrates the chamfer metric
     # converges toward the GT sampling floor when geometry permits (on
     # houses a never-imaged interior tail dominates gt2scan; r3 weak #6)
+    only = set(args.only.split(",")) if args.only else None
     for tag, dataset, seed in (("held_out_houses", scn.get("dataset", "procedural"), args.eval_seed),
                                ("objects_zero_shot", "objects", args.eval_seed + 1),
                                ("convex_floor_probe", "convex", args.eval_seed + 2)):
+        if only is not None and tag not in only:
+            continue
         scenes = make_scenes(scene_cfg(dataset, seed), env_cfg.renderer.resolution)
         env = ReconEnv(dataclasses.replace(env_cfg, scene=scene_cfg(dataset, seed)), scenes)
-        res = evaluation.evaluate(env, model, variables)
+        res = evaluation.evaluate(env, model, variables,
+                                  point_stride=args.point_stride)
         report[tag] = {
             "final_coverage": round(res.mean_final_coverage, 4),
             "mean_AUC": round(res.mean_auc, 4),
@@ -226,7 +245,9 @@ def main(argv=None):
         ] + overrides)
         report["artifacts"] = art_dir
 
-    with open(os.path.join(run_dir, "report.json"), "w") as f:
+    if args.point_stride != 8:
+        report["point_stride"] = args.point_stride
+    with open(os.path.join(run_dir, args.report_name), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
     if args.export:
