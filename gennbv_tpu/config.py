@@ -111,10 +111,9 @@ class RendererConfig:
         auto therefore resolves to the GSPMD-shardable "mxu" form whenever
         the env axis spans more than one device; the runner pins the
         resolved impl into the env config at mesh-build time."""
-        if self.gather_impl not in ("auto", "mxu", "pallas", "pallas_fused"):
+        if self.gather_impl not in ("auto", "mxu", "pallas"):
             raise ValueError(f"renderer.gather_impl={self.gather_impl!r}: "
-                             "expected 'auto', 'mxu', 'pallas' or "
-                             "'pallas_fused'")
+                             "expected 'auto', 'mxu' or 'pallas'")
         if self.gather_impl != "auto":
             return self.gather_impl
         return "pallas" if height < 256 and n_devices == 1 else "mxu"

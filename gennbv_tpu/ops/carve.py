@@ -28,7 +28,6 @@ Both return a {0,1} "traversed" mask so the fused update is
 from __future__ import annotations
 
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -176,10 +175,9 @@ def carve_ztest(
     # empty pixels hold exactly depth_max, bf16-representable) and bf16's
     # absolute error at scene depths is an order below both slacks.
     from gennbv_tpu.ops import mxu
-    if gather_impl.startswith("pallas"):
+    if gather_impl == "pallas":
         from gennbv_tpu.ops import pallas_gather
-        gather = functools.partial(pallas_gather.gather_image,
-                                   fused=gather_impl == "pallas_fused")
+        gather = pallas_gather.gather_image
     else:
         gather = lambda img, v, u: mxu.gather_image(img, v, u, exact=False)
     d_px = gather(depth, vi, ui)

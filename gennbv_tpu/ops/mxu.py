@@ -201,10 +201,9 @@ def scatter_min_image(vi: jnp.ndarray, ui: jnp.ndarray, z: jnp.ndarray,
 
     # per-point gather of the pixel's min coarse bucket (bucket ids are
     # small integers, exact in bf16 either way)
-    if gather_impl.startswith("pallas"):
+    if gather_impl == "pallas":
         from gennbv_tpu.ops import pallas_gather
-        m1_at_q = pallas_gather.gather_image(
-            m1, vi, ui, fused=gather_impl == "pallas_fused")     # [Q]
+        m1_at_q = pallas_gather.gather_image(m1, vi, ui)         # [Q]
     else:
         m1_at_q = gather_image_int8(m1, vi, ui)                  # [Q]
     in_min_bucket = vf * (jnp.abs(d1 - m1_at_q) < 0.5)

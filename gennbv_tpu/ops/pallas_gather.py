@@ -25,8 +25,6 @@ the contraction is ordered (tests/test_ops.py parity test).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -54,33 +52,8 @@ def _kernel(img_ref, vi_ref, ui_ref, out_ref):
         out_ref[r:r + 1, :] = jnp.sum(sel, axis=0, keepdims=True)
 
 
-def _kernel_fused(img_ref, vi_ref, ui_ref, out_ref, *, widen=False):
-    """All ROWS x CHUNK points of the block in ONE 3-D dot: the one-hot is
-    [H, ROWS, CHUNK] and the contraction feeds the MXU a single
-    H x (ROWS*CHUNK) problem instead of ROWS serial H x CHUNK ones.
-    VMEM: ohv 2*H*ROWS*CHUNK + tmp 4*W*ROWS*CHUNK bytes — at 128^2 that is
-    1 + 2 MB; guarded by gather_image's fused flag for larger sensors."""
-    # widen: XLA:CPU's interpret-mode DotThunk lacks rank-3 bf16xbf16=f32;
-    # one nonzero per one-hot column makes the f32 product bit-identical
-    # (the gathered value is the bf16-rounded image entry either way)
-    dt = jnp.float32 if widen else jnp.bfloat16
-    img = img_ref[...].astype(jnp.bfloat16).astype(dt)   # [H, W]
-    h, w = img.shape
-    vi = vi_ref[...]                                     # [ROWS, CHUNK]
-    ui = ui_ref[...]
-    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, ROWS, CHUNK), 0)
-    ohv = (ioh == vi[None]).astype(dt)                   # [H, ROWS, CHUNK]
-    tmp = jax.lax.dot_general(
-        img, ohv, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [W, ROWS, CHUNK]
-    iow = jax.lax.broadcasted_iota(jnp.int32, (w, ROWS, CHUNK), 0)
-    sel = jnp.where(iow == ui[None], tmp, 0.0)
-    out_ref[...] = jnp.sum(sel, axis=0)                  # [ROWS, CHUNK]
-
-
 def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
-                 interpret: bool | None = None,
-                 fused: bool = False) -> jnp.ndarray:
+                 interpret: bool | None = None) -> jnp.ndarray:
     """img[vi, ui] — [H, W] f32 image, [Q] int32 in-range indices, [Q] f32
     out.  Bit-identical to mxu.gather_image(img, vi, ui, exact=False).
     vmap-compatible (the env axis becomes a leading grid dimension; each
@@ -102,10 +75,13 @@ def gather_image(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray,
     vi_p = jnp.pad(vi, (0, pad)).reshape(qc, CHUNK)
     ui_p = jnp.pad(ui, (0, pad)).reshape(qc, CHUNK)
 
-    kern = (functools.partial(_kernel_fused, widen=interpret) if fused
-            else _kernel)
+    # NOTE a "fused" 3-D-dot kernel variant (all ROWS x CHUNK points in one
+    # H x (ROWS*CHUNK) contraction) was built and measured in round 5:
+    # 18,667 vs 27,171 steps/s end-to-end at 128^2 — a 0.687x REGRESSION
+    # (reports/r5_ab_gather_pallas_vs_fused_128.log), so it was removed;
+    # the per-row serial dots below are the measured-fastest form.
     out = pl.pallas_call(
-        kern,
+        _kernel,
         grid=(qc // ROWS,),
         in_specs=[
             pl.BlockSpec(img.shape, lambda i: (0, 0),

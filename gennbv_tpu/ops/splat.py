@@ -188,10 +188,9 @@ def zbuf_vis_px(
     # (<= 16 m) is <= 0.0625 m — the hi/lo exact split costs a second
     # matmul (5.3 -> 2.8 ms measured).
     zbuf2d = zbuf.reshape(height, width)
-    if gather_impl.startswith("pallas"):
+    if gather_impl == "pallas":
         from gennbv_tpu.ops import pallas_gather
-        z_at_px = pallas_gather.gather_image(
-            zbuf2d, vic, uic, fused=gather_impl == "pallas_fused")
+        z_at_px = pallas_gather.gather_image(zbuf2d, vic, uic)
     else:
         z_at_px = mxu.gather_image(zbuf2d, vic, uic, exact=False)
     visible = ok & (z <= z_at_px + voxel_eps)
@@ -240,11 +239,10 @@ def splat_vis_carve(
     q = vic.shape[0]
     cat_vi = jnp.concatenate([vic, cvi])
     cat_ui = jnp.concatenate([uic, cui])
-    if gather_impl.startswith("pallas"):
+    if gather_impl == "pallas":
         from gennbv_tpu.ops import pallas_gather
         z_at = pallas_gather.gather_image(
-            zbuf.reshape(height, width), cat_vi, cat_ui,
-            fused=gather_impl == "pallas_fused")
+            zbuf.reshape(height, width), cat_vi, cat_ui)
     else:
         z_at = mxu.gather_image(
             zbuf.reshape(height, width), cat_vi, cat_ui, exact=False)

@@ -381,9 +381,7 @@ class TestPallasGather:
             ui = jnp.asarray(rng.integers(0, w, q), jnp.int32)
             a = mxu.gather_image(img, vi, ui, exact=False)
             b = pallas_gather.gather_image(img, vi, ui)
-            c = pallas_gather.gather_image(img, vi, ui, fused=True)
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
             # reference values: bf16-rounded exact lookups
             ref = np.asarray(img)[np.asarray(vi), np.asarray(ui)].astype(
                 jnp.bfloat16).astype(np.float32)
@@ -424,7 +422,7 @@ class TestPallasGather:
                     cfg, renderer=dataclasses.replace(cfg.renderer,
                                                       gather_impl=gi)),
                          scenes)
-                for gi in ("mxu", "pallas", "pallas_fused")]
+                for gi in ("mxu", "pallas")]
         states, outs = zip(*(e.reset(4) for e in envs))
         states = list(states)
         for o in outs[1:]:

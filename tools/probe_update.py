@@ -136,16 +136,21 @@ def main():
               / (hbm_gbps * 1e9) * n_mb * 1e3, 2)})
 
     # ---- variants ----------------------------------------------------------
+    # rollout arrays are passed as ARGUMENTS, not closed over: closure
+    # capture turns the 1.2 GB flattened rollout into jit constants, which
+    # blows the axon remote-compile request limit (observed: 2.2 GB
+    # captured-constants warning, compile never returned)
+    data = (f_obs, f_act, f_lp, f_val, f_adv, f_ret)
+
     def make_update(apply_mode: str, target_kl):
         c = PPOConfig(n_steps=pcfg.n_steps, batch_size=pcfg.batch_size,
                       n_epochs=pcfg.n_epochs, target_kl=target_kl,
                       apply_mode=apply_mode)
 
-        def f(ts, rng):
+        def f(ts, rng, data):
             r, rng = jax.random.split(rng)
             new_ts, m = ppo.update(
-                runner.model, runner.tx, c, ts, f_obs, f_act, f_lp, f_val,
-                f_adv, f_ret, r, num_envs=n)
+                runner.model, runner.tx, c, ts, *data, r, num_envs=n)
             return new_ts, m.approx_kl, rng
 
         return jax.jit(f)
@@ -159,9 +164,10 @@ def main():
     # compile all, then interleave blocks (bench_ab_live methodology)
     states = {}
     for name, f in variants.items():
-        ts_v, kl, rng_v = f(ts, rng)
+        ts_v, kl, rng_v = f(ts, rng, data)
         jax.block_until_ready(kl)
         states[name] = (ts_v, rng_v)
+        emit({"probe": "compiled", "variant": name})
 
     results = {name: [] for name in variants}
     for b in range(args.blocks):
@@ -170,7 +176,7 @@ def main():
             kl = None
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                ts_v, kl, rng_v = f(ts_v, rng_v)
+                ts_v, kl, rng_v = f(ts_v, rng_v, data)
             jax.block_until_ready(kl)
             dt = (time.perf_counter() - t0) / args.iters
             states[name] = (ts_v, rng_v)
@@ -190,14 +196,13 @@ def main():
         for bs in (256, 512, 1024):
             c = PPOConfig(n_steps=pcfg.n_steps, batch_size=bs,
                           n_epochs=pcfg.n_epochs, target_kl=pcfg.target_kl)
-            f = jax.jit(lambda ts, rng, c=c: ppo.update(
-                runner.model, runner.tx, c, ts, f_obs, f_act, f_lp, f_val,
-                f_adv, f_ret, rng, num_envs=n)[0])
-            ts_v = f(ts, rng)
+            f = jax.jit(lambda ts, rng, data, c=c: ppo.update(
+                runner.model, runner.tx, c, ts, *data, rng, num_envs=n)[0])
+            ts_v = f(ts, rng, data)
             jax.block_until_ready(jax.tree.leaves(ts_v.params)[0])
             t0 = time.perf_counter()
             for _ in range(args.iters):
-                ts_v = f(ts_v, rng)
+                ts_v = f(ts_v, rng, data)
             jax.block_until_ready(jax.tree.leaves(ts_v.params)[0])
             dt = (time.perf_counter() - t0) / args.iters
             emit({"probe": "sweep", "batch_size": bs,
