@@ -16,6 +16,13 @@ from gennbv_tpu.train.train_gennbv import build_argparser, config_from_args
 def main(argv=None):
     p = build_argparser()
     p.add_argument("--eval_seed", type=int, default=100)
+    p.add_argument("--eval_dataset", type=str, default=None,
+                   help="scene dataset for the held-out eval batch (default: "
+                        "the training dataset — correct for procedural "
+                        "generators, where the eval seed yields unseen "
+                        "scenes, but a converted-mesh directory needs its "
+                        "own held-out directory: the reference's batch-12 "
+                        "setA split, env_eval_gennbv.py:16-50)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
     if cfg.runner.eval_freq == 0:
@@ -25,8 +32,10 @@ def main(argv=None):
     from gennbv_tpu.algo.runner import Runner
 
     # held-out eval scenes: one per eval env, different generator seed
+    # (or a separate converted-mesh directory via --eval_dataset)
     eval_scene_cfg = dataclasses.replace(
-        cfg.env.scene, num_scenes=spec.EVAL_NUM_ENVS, seed=args.eval_seed
+        cfg.env.scene, num_scenes=spec.EVAL_NUM_ENVS, seed=args.eval_seed,
+        **({"dataset": args.eval_dataset} if args.eval_dataset else {})
     )
     eval_scenes = make_scenes(eval_scene_cfg, cfg.env.renderer.resolution)
 

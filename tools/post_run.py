@@ -119,6 +119,12 @@ def main(argv=None):
                     help="comma-separated eval-family tags to run "
                          "(held_out_houses,objects_zero_shot,"
                          "convex_floor_probe); default all")
+    ap.add_argument("--holdout_dataset", type=str, default=None,
+                    help="scene dataset for the held_out_houses family "
+                         "(default: the run's training dataset + eval seed "
+                         "— correct for procedural generators; a "
+                         "converted-mesh run needs its held-out directory, "
+                         "e.g. data_rehearsal/eval)")
     ap.add_argument("--report_name", type=str, default="report.json",
                     help="filename for the report inside run_dir (use a "
                          "distinct name for probe re-runs so the canonical "
@@ -188,7 +194,8 @@ def main(argv=None):
     # converges toward the GT sampling floor when geometry permits (on
     # houses a never-imaged interior tail dominates gt2scan; r3 weak #6)
     only = set(args.only.split(",")) if args.only else None
-    for tag, dataset, seed in (("held_out_houses", scn.get("dataset", "procedural"), args.eval_seed),
+    holdout = args.holdout_dataset or scn.get("dataset", "procedural")
+    for tag, dataset, seed in (("held_out_houses", holdout, args.eval_seed),
                                ("objects_zero_shot", "objects", args.eval_seed + 1),
                                ("convex_floor_probe", "convex", args.eval_seed + 2)):
         if only is not None and tag not in only:
